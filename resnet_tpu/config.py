@@ -1,0 +1,258 @@
+"""Configuration system: typed dataclass config + train_imagenet-style CLI.
+
+Rebuilds the reference's config surface (ref:config/cfgs.py — an easydict of
+dataset/model/train/augmentation knobs) and its CLI flag names
+(``--network --depth --batch-size --lr --lr-steps ...``), mapped to TPU
+concepts where the GPU concept has no counterpart:
+
+  - ``--gpus 0,1,...``      → ``--num-devices N`` (devices on the JAX mesh)
+  - ``--kv-store device``   → ``--dp-mode {jit,shard_map}`` (GSPMD vs explicit psum)
+  - ``--memonger``          → ``--remat`` (jax.checkpoint per residual stage)
+  - fp16 ``multi_precision``→ ``--dtype bf16`` (fp32 master params + bf16 compute)
+"""
+
+from __future__ import annotations
+
+import argparse
+import dataclasses
+from dataclasses import dataclass, field
+from typing import Optional, Sequence
+
+
+@dataclass
+class DataConfig:
+    """Dataset + input pipeline knobs (ref: mx.io.ImageRecordIter kwargs)."""
+
+    data_dir: str = "data"
+    train_rec: str = "train.rec"
+    train_idx: str = "train.idx"
+    val_rec: str = "val.rec"
+    val_idx: str = "val.idx"
+    num_classes: int = 1000
+    num_examples: int = 1281167
+    image_shape: tuple = (224, 224, 3)  # NHWC (reference is '3,224,224' NCHW)
+    # Augmentation (parity-critical set, ref: mxnet src/io/image_aug_default.cc)
+    rand_crop: bool = True
+    rand_mirror: bool = True
+    min_random_area: float = 0.08     # random-resized-crop area range
+    max_random_area: float = 1.0
+    max_aspect_ratio: float = 4.0 / 3.0   # aspect sampled in [3/4, 4/3]
+    random_h: int = 0                 # HSL jitter ranges (36/50/50 in some cfgs)
+    random_s: int = 0
+    random_l: int = 0
+    mean_rgb: tuple = (123.68, 116.779, 103.939)
+    std_rgb: tuple = (58.393, 57.12, 57.375)
+    preprocess_threads: int = 4
+    prefetch_buffer: int = 2
+    shuffle: bool = True
+    # Pipeline selection: 'synthetic' | 'memory' | 'record'
+    pipeline: str = "record"
+
+
+@dataclass
+class ModelConfig:
+    """Network selection (ref:symbol/resnet.py get_symbol arguments)."""
+
+    network: str = "resnet"           # resnet | resnext
+    depth: int = 50
+    version: int = 1                  # residual unit v1 (post-act) or v2 (pre-act)
+    cardinality: int = 32             # ResNeXt num_group
+    group_width: int = 4              # ResNeXt bottleneck width per group
+    bn_mom: float = 0.9
+    bn_eps: float = 2e-5
+    dataset: str = "imagenet"         # imagenet | cifar10  (selects stem + stages)
+
+
+@dataclass
+class TrainConfig:
+    """Optimizer / schedule / loop knobs (ref:train_resnet.py config.TRAIN)."""
+
+    batch_size: int = 256             # GLOBAL batch (reference: per-GPU × N)
+    lr: float = 0.1
+    lr_steps: tuple = (30, 60, 90)    # epochs at which lr *= lr_factor
+    lr_factor: float = 0.1
+    warmup: bool = False
+    warmup_lr: float = 0.0
+    warmup_epochs: int = 5
+    mom: float = 0.9
+    wd: float = 1e-4
+    num_epochs: int = 100
+    frequent: int = 50                # Speedometer log interval (batches)
+    model_prefix: str = "checkpoints/resnet"
+    load_epoch: Optional[int] = None
+    begin_epoch: int = 0
+    dtype: str = "float32"            # float32 | bfloat16
+    remat: bool = False               # memonger equivalent (jax.checkpoint)
+    label_smooth: float = 0.0
+    seed: int = 0
+    # Parallelism
+    num_devices: int = 0              # 0 = all local devices
+    dp_mode: str = "jit"              # jit (GSPMD) | shard_map (explicit psum)
+    sync_bn: bool = False             # cross-replica BN stats (reference: per-device)
+
+
+@dataclass
+class Config:
+    data: DataConfig = field(default_factory=DataConfig)
+    model: ModelConfig = field(default_factory=ModelConfig)
+    train: TrainConfig = field(default_factory=TrainConfig)
+
+    def replace(self, **kw) -> "Config":
+        return dataclasses.replace(self, **kw)
+
+
+# ---------------------------------------------------------------------------
+# Canned configs mirroring BASELINE.json `configs`
+# ---------------------------------------------------------------------------
+
+def cifar10_resnet18() -> Config:
+    """BASELINE config #1: ResNet-18 on CIFAR-10."""
+    cfg = Config()
+    cfg.data = dataclasses.replace(
+        cfg.data, num_classes=10, num_examples=50000,
+        image_shape=(32, 32, 3), pipeline="memory",
+        mean_rgb=(125.307, 122.95, 113.865), std_rgb=(62.993, 62.089, 66.705),
+        min_random_area=1.0, max_aspect_ratio=1.0,
+    )
+    cfg.model = dataclasses.replace(cfg.model, depth=18, dataset="cifar10")
+    cfg.train = dataclasses.replace(
+        cfg.train, batch_size=128, lr=0.1, lr_steps=(120, 160), num_epochs=200)
+    return cfg
+
+
+def imagenet_resnet50() -> Config:
+    """BASELINE config #2: ResNet-50 ImageNet, single chip."""
+    return Config()
+
+
+def imagenet_resnext50() -> Config:
+    """BASELINE config #3: ResNeXt-50 32x4d."""
+    cfg = Config()
+    cfg.model = dataclasses.replace(cfg.model, network="resnext", depth=50)
+    return cfg
+
+
+def imagenet_resnet101_bf16() -> Config:
+    """BASELINE config #4: ResNet-101 bf16 mixed precision, large-batch warmup."""
+    cfg = Config()
+    cfg.model = dataclasses.replace(cfg.model, depth=101)
+    cfg.train = dataclasses.replace(
+        cfg.train, batch_size=1024, lr=0.4, warmup=True, warmup_epochs=5,
+        dtype="bfloat16")
+    return cfg
+
+
+def imagenet_resnet152_dp() -> Config:
+    """BASELINE config #5: ResNet-152 data-parallel pod scaling."""
+    cfg = Config()
+    cfg.model = dataclasses.replace(cfg.model, depth=152)
+    cfg.train = dataclasses.replace(
+        cfg.train, batch_size=4096, lr=1.6, warmup=True, warmup_epochs=5,
+        dtype="bfloat16", remat=True, num_devices=16)
+    return cfg
+
+
+PRESETS = {
+    "cifar10_resnet18": cifar10_resnet18,
+    "imagenet_resnet50": imagenet_resnet50,
+    "imagenet_resnext50": imagenet_resnext50,
+    "imagenet_resnet101_bf16": imagenet_resnet101_bf16,
+    "imagenet_resnet152_dp": imagenet_resnet152_dp,
+}
+
+
+# ---------------------------------------------------------------------------
+# CLI (the reference's train_imagenet-style flag surface)
+# ---------------------------------------------------------------------------
+
+def build_parser() -> argparse.ArgumentParser:
+    p = argparse.ArgumentParser(
+        description="Train ResNet/ResNeXt on TPU (rebuild of train_resnet.py)")
+    p.add_argument("--preset", choices=sorted(PRESETS), default=None,
+                   help="start from a canned BASELINE config")
+    # model
+    p.add_argument("--network", choices=["resnet", "resnext"], default=None)
+    p.add_argument("--depth", type=int, default=None)
+    p.add_argument("--version", type=int, choices=[1, 2], default=None)
+    p.add_argument("--dataset", choices=["imagenet", "cifar10"], default=None)
+    p.add_argument("--cardinality", type=int, default=None)
+    # data
+    p.add_argument("--data-dir", default=None)
+    p.add_argument("--num-classes", type=int, default=None)
+    p.add_argument("--num-examples", type=int, default=None)
+    p.add_argument("--image-shape", default=None,
+                   help="H,W,C (reference used C,H,W)")
+    p.add_argument("--pipeline", choices=["synthetic", "memory", "record"],
+                   default=None)
+    p.add_argument("--preprocess-threads", type=int, default=None)
+    # train
+    p.add_argument("--batch-size", type=int, default=None, help="global batch")
+    p.add_argument("--lr", type=float, default=None)
+    p.add_argument("--lr-steps", default=None, help="epochs, e.g. 30,60,90")
+    p.add_argument("--lr-factor", type=float, default=None)
+    p.add_argument("--warmup", action="store_true", default=None)
+    p.add_argument("--warmup-epochs", type=int, default=None)
+    p.add_argument("--mom", type=float, default=None)
+    p.add_argument("--wd", type=float, default=None)
+    p.add_argument("--num-epochs", type=int, default=None)
+    p.add_argument("--frequent", type=int, default=None)
+    p.add_argument("--model-prefix", default=None)
+    p.add_argument("--load-epoch", type=int, default=None)
+    p.add_argument("--dtype", choices=["float32", "bfloat16"], default=None)
+    p.add_argument("--remat", action="store_true", default=None,
+                   help="gradient checkpointing (reference: --memonger)")
+    p.add_argument("--seed", type=int, default=None)
+    # parallel
+    p.add_argument("--num-devices", type=int, default=None,
+                   help="devices on the data mesh (reference: --gpus)")
+    p.add_argument("--dp-mode", choices=["jit", "shard_map"], default=None,
+                   help="data-parallel impl (reference: --kv-store)")
+    return p
+
+
+def _parse_tuple(s: str, typ=int) -> tuple:
+    return tuple(typ(x) for x in s.split(",") if x.strip())
+
+
+def config_from_args(args: argparse.Namespace) -> Config:
+    cfg = PRESETS[args.preset]() if args.preset else Config()
+    d, m, t = {}, {}, {}
+    if args.network is not None: m["network"] = args.network
+    if args.depth is not None: m["depth"] = args.depth
+    if args.version is not None: m["version"] = args.version
+    if args.dataset is not None: m["dataset"] = args.dataset
+    if args.cardinality is not None: m["cardinality"] = args.cardinality
+    if args.data_dir is not None: d["data_dir"] = args.data_dir
+    if args.num_classes is not None: d["num_classes"] = args.num_classes
+    if args.num_examples is not None: d["num_examples"] = args.num_examples
+    if args.image_shape is not None:
+        d["image_shape"] = _parse_tuple(args.image_shape)
+    if args.pipeline is not None: d["pipeline"] = args.pipeline
+    if args.preprocess_threads is not None:
+        d["preprocess_threads"] = args.preprocess_threads
+    if args.batch_size is not None: t["batch_size"] = args.batch_size
+    if args.lr is not None: t["lr"] = args.lr
+    if args.lr_steps is not None: t["lr_steps"] = _parse_tuple(args.lr_steps)
+    if args.lr_factor is not None: t["lr_factor"] = args.lr_factor
+    if args.warmup: t["warmup"] = True
+    if args.warmup_epochs is not None: t["warmup_epochs"] = args.warmup_epochs
+    if args.mom is not None: t["mom"] = args.mom
+    if args.wd is not None: t["wd"] = args.wd
+    if args.num_epochs is not None: t["num_epochs"] = args.num_epochs
+    if args.frequent is not None: t["frequent"] = args.frequent
+    if args.model_prefix is not None: t["model_prefix"] = args.model_prefix
+    if args.load_epoch is not None: t["load_epoch"] = args.load_epoch
+    if args.dtype is not None: t["dtype"] = args.dtype
+    if args.remat: t["remat"] = True
+    if args.seed is not None: t["seed"] = args.seed
+    if args.num_devices is not None: t["num_devices"] = args.num_devices
+    if args.dp_mode is not None: t["dp_mode"] = args.dp_mode
+    return Config(
+        data=dataclasses.replace(cfg.data, **d),
+        model=dataclasses.replace(cfg.model, **m),
+        train=dataclasses.replace(cfg.train, **t),
+    )
+
+
+def parse_config(argv: Optional[Sequence[str]] = None) -> Config:
+    return config_from_args(build_parser().parse_args(argv))

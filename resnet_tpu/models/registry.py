@@ -1,0 +1,70 @@
+"""Model registry: (network, depth, dataset) → ResNet module.
+
+Rebuilds the reference's symbol selection (ref:train_resnet.py chooses
+``symbol.resnet.get_symbol`` / ``symbol.resnext.get_symbol`` from
+``config.network`` + ``config.depth``) including both depth schemes:
+
+  - ImageNet-style depths from the 18/34/50/101/152/200/269 table;
+  - CIFAR 6n+2 (basic) / 9n+2 (bottleneck) three-stage nets for other depths
+    when ``dataset='cifar10'`` (ref:symbol/resnet.py CIFAR branch).
+"""
+
+from __future__ import annotations
+
+from typing import Any
+
+import jax.numpy as jnp
+
+from resnet_tpu.config import Config, ModelConfig
+from resnet_tpu.models.resnet import (
+    BOTTLENECK_MIN_DEPTH,
+    CIFAR_FILTERS_BASIC,
+    CIFAR_FILTERS_BOTTLENECK,
+    FILTERS_BASIC,
+    FILTERS_BOTTLENECK,
+    IMAGENET_UNITS,
+    ResNet,
+)
+
+_DTYPES = {"float32": jnp.float32, "bfloat16": jnp.bfloat16}
+
+
+def model_spec(m: ModelConfig, num_classes: int):
+    """Resolve (units, filters, bottleneck, cifar_stem) for a config."""
+    cifar = m.dataset == "cifar10"
+    if m.depth in IMAGENET_UNITS:
+        units = IMAGENET_UNITS[m.depth]
+        bottleneck = m.depth >= BOTTLENECK_MIN_DEPTH
+        filters = FILTERS_BOTTLENECK if bottleneck else FILTERS_BASIC
+    elif cifar and (m.depth - 2) % 9 == 0 and m.depth >= 164:
+        # CIFAR 9n+2 bottleneck (e.g. 164, 1001)
+        n = (m.depth - 2) // 9
+        units, filters, bottleneck = (n, n, n), CIFAR_FILTERS_BOTTLENECK, True
+    elif cifar and (m.depth - 2) % 6 == 0:
+        # CIFAR 6n+2 basic (e.g. 20, 56, 110)
+        n = (m.depth - 2) // 6
+        units, filters, bottleneck = (n, n, n), CIFAR_FILTERS_BASIC, False
+    else:
+        raise ValueError(f"unsupported depth {m.depth} for {m.dataset}")
+    if m.network == "resnext" and not bottleneck:
+        raise ValueError("resnext requires a bottleneck depth (>=50)")
+    return units, filters, bottleneck, cifar
+
+
+def get_model(cfg: Config, dtype: Any = None, remat: bool = None) -> ResNet:
+    m = cfg.model
+    units, filters, bottleneck, cifar = model_spec(m, cfg.data.num_classes)
+    return ResNet(
+        units=units,
+        filters=filters,
+        num_classes=cfg.data.num_classes,
+        bottleneck=bottleneck,
+        version=m.version,
+        cardinality=m.cardinality if m.network == "resnext" else 1,
+        group_width=m.group_width,
+        cifar_stem=cifar,
+        bn_mom=m.bn_mom,
+        bn_eps=m.bn_eps,
+        dtype=dtype if dtype is not None else _DTYPES[cfg.train.dtype],
+        remat=cfg.train.remat if remat is None else remat,
+    )

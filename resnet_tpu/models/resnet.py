@@ -1,0 +1,244 @@
+"""ResNet / ResNeXt model family, TPU-first (NHWC, bf16-ready, XLA-fusible).
+
+Rebuilds the reference graph builders (ref:symbol/resnet.py,
+ref:symbol/resnext.py — MXNet symbols made of Convolution/BatchNorm/
+Activation/Pooling/FullyConnected) as Flax modules:
+
+  - ``residual unit``: basic (two 3x3) and bottleneck (1x1-3x3-1x1) blocks in
+    both v1 (post-activation: conv-BN-ReLU, add, ReLU) and v2 (pre-activation:
+    BN-ReLU-conv, add) flavors; optional cardinality (grouped 3x3) gives
+    ResNeXt. Mirrors ``residual_unit(data, num_filter, stride, dim_match,
+    bottle_neck, num_group)`` in the reference.
+  - depth tables: 18/34/50/101/152/200/269 with the reference's unit counts
+    and filter lists; CIFAR 6n+2 / 9n+2 three-stage variants.
+  - stems: ImageNet (7x7/2 conv + 3x3/2 maxpool) and CIFAR (3x3/1 conv).
+
+TPU-first design choices (deliberate departures from the CUDA/NCHW reference):
+  - NHWC layout throughout — XLA:TPU's native conv layout; the MXU tiles the
+    channel dim (last, 128-lane) directly.
+  - stride lives on the 3x3 conv of the bottleneck (not the first 1x1), which
+    avoids strided 1x1 convs that waste MXU occupancy.
+  - compute dtype is a parameter (bf16 for the MXU), params/BN stats stay fp32
+    (flax computes BN statistics in fp32 regardless of compute dtype).
+  - ``remat`` wraps each residual unit in jax.checkpoint — the equivalent of
+    the reference's memonger ``mirror_stage`` sublinear-memory plan
+    (ref:core/memonger.py).
+
+Weight init is MSRA (He): variance_scaling(2.0, fan_in, normal), matching the
+reference's ``Xavier(rnd_type='gaussian', factor_type='in', magnitude=2)``.
+"""
+
+from __future__ import annotations
+
+from functools import partial
+from typing import Any, Callable, Optional, Sequence, Tuple
+
+import flax.linen as nn
+import jax
+import jax.numpy as jnp
+
+# MSRA initialization (ref:train_resnet.py init Xavier(gaussian, in, 2))
+conv_init = nn.initializers.variance_scaling(2.0, "fan_in", "normal")
+dense_init = nn.initializers.variance_scaling(1.0, "fan_in", "normal")
+
+# Depth → per-stage unit counts (ref:symbol/resnet.py depth table)
+IMAGENET_UNITS = {
+    18: (2, 2, 2, 2),
+    34: (3, 4, 6, 3),
+    50: (3, 4, 6, 3),
+    101: (3, 4, 23, 3),
+    152: (3, 8, 36, 3),
+    200: (3, 24, 36, 3),
+    269: (3, 30, 48, 8),
+}
+# bottleneck for depth >= 50 (ref:symbol/resnet.py bottle_neck flag)
+BOTTLENECK_MIN_DEPTH = 50
+
+# Filter lists (ref:symbol/resnet.py filter_list)
+FILTERS_BOTTLENECK = (64, 256, 512, 1024, 2048)
+FILTERS_BASIC = (64, 64, 128, 256, 512)
+CIFAR_FILTERS_BASIC = (16, 16, 32, 64)
+CIFAR_FILTERS_BOTTLENECK = (16, 64, 128, 256)
+
+
+def _norm(mom: float, eps: float, dtype, name: str, use_scale: bool = True):
+    """BatchNorm matching MXNet semantics: momentum 0.9 EMA on running stats.
+
+    MXNet ``BatchNorm(momentum=m)`` updates ``moving = m*moving + (1-m)*batch``
+    — identical to flax's convention. ``use_scale=False`` emulates the
+    reference's ``fix_gamma=True``.
+    """
+    return partial(
+        nn.BatchNorm, momentum=mom, epsilon=eps, dtype=dtype,
+        use_scale=use_scale, name=name)
+
+
+class ResidualUnit(nn.Module):
+    """One residual unit (ref:symbol/resnet.py residual_unit / resnext.py).
+
+    v1: conv-BN-ReLU chains, projection shortcut conv-BN, ReLU after the add.
+    v2: pre-activation BN-ReLU-conv chains, shortcut taken from the first
+        pre-activation, plain add (no trailing ReLU).
+    ``cardinality > 1`` makes the middle 3x3 a grouped conv (ResNeXt);
+    ``mid_filters`` then follows the reference's ``num_group * width`` rule.
+    """
+
+    filters: int                  # output channels of the unit
+    strides: Tuple[int, int]
+    dim_match: bool               # identity shortcut iff True
+    bottleneck: bool
+    version: int = 1
+    cardinality: int = 1
+    mid_filters: Optional[int] = None   # override middle width (ResNeXt)
+    bn_mom: float = 0.9
+    bn_eps: float = 2e-5
+    dtype: Any = jnp.float32
+
+    @nn.compact
+    def __call__(self, x, train: bool):
+        conv = partial(nn.Conv, use_bias=False, kernel_init=conv_init,
+                       dtype=self.dtype)
+        bn = lambda name, scale=True: _norm(
+            self.bn_mom, self.bn_eps, self.dtype, name, scale)(
+        )
+        relu = nn.relu
+        ra = not train
+
+        if self.bottleneck:
+            mid = self.mid_filters or self.filters // 4
+        else:
+            mid = self.filters
+
+        if self.version == 2:
+            # Pre-activation (He et al. 2016, Identity Mappings).
+            pre = relu(bn("bn1")(x, use_running_average=ra))
+            shortcut = x if self.dim_match else conv(
+                self.filters, (1, 1), self.strides, name="sc")(pre)
+            if self.bottleneck:
+                y = conv(mid, (1, 1), (1, 1), name="conv1")(pre)
+                y = relu(bn("bn2")(y, use_running_average=ra))
+                y = conv(mid, (3, 3), self.strides, padding=((1, 1), (1, 1)),
+                         feature_group_count=self.cardinality, name="conv2")(y)
+                y = relu(bn("bn3")(y, use_running_average=ra))
+                y = conv(self.filters, (1, 1), (1, 1), name="conv3")(y)
+            else:
+                y = conv(mid, (3, 3), self.strides, padding=((1, 1), (1, 1)),
+                         name="conv1")(pre)
+                y = relu(bn("bn2")(y, use_running_average=ra))
+                y = conv(self.filters, (3, 3), (1, 1),
+                         padding=((1, 1), (1, 1)), name="conv2")(y)
+            return y + shortcut
+
+        # v1: post-activation
+        shortcut = x
+        if not self.dim_match:
+            shortcut = conv(self.filters, (1, 1), self.strides, name="sc")(x)
+            shortcut = bn("sc_bn")(shortcut, use_running_average=ra)
+        if self.bottleneck:
+            y = conv(mid, (1, 1), (1, 1), name="conv1")(x)
+            y = relu(bn("bn1")(y, use_running_average=ra))
+            y = conv(mid, (3, 3), self.strides, padding=((1, 1), (1, 1)),
+                     feature_group_count=self.cardinality, name="conv2")(y)
+            y = relu(bn("bn2")(y, use_running_average=ra))
+            y = conv(self.filters, (1, 1), (1, 1), name="conv3")(y)
+            y = bn("bn3")(y, use_running_average=ra)
+        else:
+            y = conv(mid, (3, 3), self.strides, padding=((1, 1), (1, 1)),
+                     name="conv1")(x)
+            y = relu(bn("bn1")(y, use_running_average=ra))
+            y = conv(self.filters, (3, 3), (1, 1), padding=((1, 1), (1, 1)),
+                     name="conv2")(y)
+            y = bn("bn2")(y, use_running_average=ra)
+        return relu(y + shortcut)
+
+
+class ResNet(nn.Module):
+    """Full network (ref:symbol/resnet.py ``resnet(units, num_stages, ...)``).
+
+    stem → num_stages stages of residual units (stride 2 at each stage
+    entry except the first... CIFAR/ImageNet rules below) → BN-ReLU (v2) →
+    global average pool → FC → logits. Loss/softmax live in the train step
+    (the reference fuses them in ``SoftmaxOutput``).
+    """
+
+    units: Sequence[int]
+    filters: Sequence[int]          # [stem] + per-stage output channels
+    num_classes: int
+    bottleneck: bool
+    version: int = 1
+    cardinality: int = 1
+    group_width: int = 4
+    cifar_stem: bool = False
+    bn_mom: float = 0.9
+    bn_eps: float = 2e-5
+    dtype: Any = jnp.float32
+    remat: bool = False
+
+    @nn.compact
+    def __call__(self, x, train: bool = False):
+        conv = partial(nn.Conv, use_bias=False, kernel_init=conv_init,
+                       dtype=self.dtype)
+        bn = lambda name, scale=True: _norm(
+            self.bn_mom, self.bn_eps, self.dtype, name, scale)()
+        ra = not train
+
+        x = x.astype(self.dtype)
+        if self.version == 2:
+            # ref:symbol/resnet.py: leading fixed-gamma BN on raw data
+            x = bn("bn_data", scale=False)(x, use_running_average=ra)
+
+        if self.cifar_stem:
+            x = conv(self.filters[0], (3, 3), (1, 1),
+                     padding=((1, 1), (1, 1)), name="conv0")(x)
+            if self.version == 1:
+                x = nn.relu(bn("bn0")(x, use_running_average=ra))
+        else:
+            x = conv(self.filters[0], (7, 7), (2, 2),
+                     padding=((3, 3), (3, 3)), name="conv0")(x)
+            x = nn.relu(bn("bn0")(x, use_running_average=ra))
+            x = nn.max_pool(x, (3, 3), strides=(2, 2),
+                            padding=((1, 1), (1, 1)))
+
+        unit_cls = ResidualUnit
+        if self.remat:
+            # memonger parity: recompute unit activations in backward
+            # (ref:core/memonger.py mirror_stage). static_argnums marks the
+            # `train` python bool.
+            unit_cls = nn.remat(ResidualUnit, static_argnums=(2,))
+
+        for stage, (n_units, n_filter) in enumerate(
+                zip(self.units, self.filters[1:])):
+            for unit in range(n_units):
+                first = unit == 0
+                # first stage keeps stride 1 (stem already downsampled /
+                # CIFAR starts at full res)
+                stride = (2, 2) if (first and stage > 0) else (1, 1)
+                mid = None
+                if self.cardinality > 1 and self.bottleneck:
+                    # ResNeXt width rule (ref:symbol/resnext.py):
+                    # mid = num_group * group_width at stage0, doubling —
+                    # i.e. filters * C * w / 256 for the standard tables.
+                    mid = max(
+                        n_filter * self.cardinality * self.group_width // 256,
+                        self.cardinality)
+                # Reference convention (ref:symbol/resnet.py): the FIRST unit
+                # of every stage uses a projection shortcut (dim_match=False),
+                # even when shapes happen to match (stage 1 of basic nets).
+                x = unit_cls(
+                    filters=n_filter, strides=stride,
+                    dim_match=not first,
+                    bottleneck=self.bottleneck, version=self.version,
+                    cardinality=self.cardinality if self.bottleneck else 1,
+                    mid_filters=mid, bn_mom=self.bn_mom, bn_eps=self.bn_eps,
+                    dtype=self.dtype,
+                    name=f"stage{stage + 1}_unit{unit + 1}",
+                )(x, train)
+
+        if self.version == 2:
+            x = nn.relu(bn("bn_final")(x, use_running_average=ra))
+
+        # global average pool (ref: Pooling(global_pool=True, kind='avg'))
+        x = jnp.mean(x, axis=(1, 2))
+        x = x.astype(jnp.float32)  # classifier head + loss in fp32
+        x = nn.Dense(self.num_classes, kernel_init=dense_init, name="fc")(x)
+        return x

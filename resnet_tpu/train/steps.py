@@ -1,0 +1,128 @@
+"""Jitted train/eval steps — the hot loop as ONE XLA program.
+
+The reference's per-batch body (SURVEY.md §3.2: forward_backward across
+executors, kv.push/pull gradient reduce, sgd_mom_update, metric update —
+dozens of engine-scheduled kernels and PCIe transfers) collapses on TPU into
+a single compiled ``step(state, batch) -> (state, metrics)``:
+
+  - forward+backward: XLA autodiff, convs on the MXU, elementwise fused;
+  - gradient all-reduce: ``psum`` over the ICI ``data`` mesh axis (the
+    kvstore 'device'/'nccl'/'dist_sync' equivalent — SURVEY.md §2d);
+  - optimizer: MXNet-semantics SGD fused into the same program;
+  - metrics: computed in-graph, returned as scalar sums.
+
+Two data-parallel modes (``--dp-mode``, the kvstore selector's analog):
+  - ``jit``: GSPMD — jit over the mesh with the batch sharded on the data
+    axis; XLA inserts the gradient all-reduce and overlaps it with the
+    backward pass. BatchNorm reduces over the GLOBAL batch (sync-BN
+    semantics).
+  - ``shard_map``: explicit SPMD — per-replica BN statistics exactly like
+    MXNet's per-GPU BatchNorm, explicit ``lax.pmean`` on grads and on the
+    updated BN running stats (the reference averages aux states across
+    executors on get_params).
+"""
+
+from __future__ import annotations
+
+from functools import partial
+from typing import Callable, Optional
+
+import jax
+import jax.numpy as jnp
+from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+from resnet_tpu.ops.metrics import cross_entropy_loss, metric_sums
+from resnet_tpu.parallel.mesh import DATA_AXIS, batch_sharded, replicated
+from resnet_tpu.train.state import TrainState
+
+
+def train_step(state: TrainState, batch, label_smooth: float = 0.0,
+               axis_name: Optional[str] = None):
+    """One SGD step. Pure; jit/shard_map wrappers below."""
+    images, labels = batch["image"], batch["label"]
+
+    def loss_fn(params):
+        logits, mutated = state.apply_fn(
+            {"params": params, "batch_stats": state.batch_stats},
+            images, train=True, mutable=["batch_stats"])
+        loss = cross_entropy_loss(logits, labels, label_smooth)
+        return loss, (logits, mutated["batch_stats"])
+
+    (loss, (logits, new_stats)), grads = jax.value_and_grad(
+        loss_fn, has_aux=True)(state.params)
+
+    if axis_name is not None:
+        # explicit DP: all-reduce grads (kvstore push+pull equivalent) and
+        # keep BN running stats replica-consistent.
+        grads = jax.lax.pmean(grads, axis_name)
+        new_stats = jax.lax.pmean(new_stats, axis_name)
+
+    new_state = state.apply_gradients(grads).replace(batch_stats=new_stats)
+    metrics = metric_sums(logits, labels, loss)
+    if axis_name is not None:
+        metrics = jax.lax.psum(metrics, axis_name)
+    return new_state, metrics
+
+
+def eval_step(state: TrainState, batch, axis_name: Optional[str] = None):
+    """Validation forward (running-average BN) + metric sums."""
+    images, labels = batch["image"], batch["label"]
+    mask = batch.get("mask")
+    logits = state.apply_fn(
+        {"params": state.params, "batch_stats": state.batch_stats},
+        images, train=False)
+    loss = cross_entropy_loss(logits, labels, mask=mask)
+    metrics = metric_sums(logits, labels, loss, mask=mask)
+    if axis_name is not None:
+        metrics = jax.lax.psum(metrics, axis_name)
+    return metrics
+
+
+def make_train_step(mesh: Optional[Mesh] = None, dp_mode: str = "jit",
+                    label_smooth: float = 0.0) -> Callable:
+    """Compile the train step for the given mesh/mode.
+
+    Returns ``f(state, batch) -> (state, metrics)`` with the state donated
+    (in-place HBM update, like MXNet's mutable NDArray weights but checked
+    by XLA aliasing instead of engine var-sequencing).
+    """
+    if mesh is None:
+        fn = partial(train_step, label_smooth=label_smooth)
+        return jax.jit(fn, donate_argnums=0)
+
+    if dp_mode == "jit":
+        fn = partial(train_step, label_smooth=label_smooth)
+        repl, shard = replicated(mesh), batch_sharded(mesh)
+        return jax.jit(fn, in_shardings=(repl, shard),
+                       out_shardings=(repl, repl), donate_argnums=0)
+
+    if dp_mode == "shard_map":
+        fn = partial(train_step, label_smooth=label_smooth,
+                     axis_name=DATA_AXIS)
+        smapped = jax.shard_map(
+            fn, mesh=mesh,
+            in_specs=(P(), P(DATA_AXIS)),
+            out_specs=(P(), P()),
+            check_vma=False)
+        return jax.jit(smapped, donate_argnums=0)
+
+    raise ValueError(f"unknown dp_mode {dp_mode!r}")
+
+
+def make_eval_step(mesh: Optional[Mesh] = None,
+                   dp_mode: str = "jit") -> Callable:
+    if mesh is None:
+        return jax.jit(eval_step)
+    if dp_mode == "jit":
+        repl, shard = replicated(mesh), batch_sharded(mesh)
+        return jax.jit(eval_step, in_shardings=(repl, shard),
+                       out_shardings=repl)
+    if dp_mode == "shard_map":
+        fn = partial(eval_step, axis_name=DATA_AXIS)
+        smapped = jax.shard_map(
+            fn, mesh=mesh,
+            in_specs=(P(), P(DATA_AXIS)),
+            out_specs=P(),
+            check_vma=False)
+        return jax.jit(smapped)
+    raise ValueError(f"unknown dp_mode {dp_mode!r}")

@@ -1,0 +1,25 @@
+"""Test harness: force CPU with 8 virtual devices.
+
+The CPU-with-fake-devices setup is the TPU-world analog of the reference's
+"distributed test without a cluster" trick (mxnet tests/nightly run ps-lite
+scheduler+workers as local processes — SURVEY.md §4): psum/sharding logic is
+exercised on 8 XLA host devices, no pod required.
+
+Must run before jax initializes, hence the env mutation at import time.
+"""
+
+import os
+
+os.environ.setdefault("JAX_PLATFORMS", "cpu")
+flags = os.environ.get("XLA_FLAGS", "")
+if "xla_force_host_platform_device_count" not in flags:
+    os.environ["XLA_FLAGS"] = (
+        flags + " --xla_force_host_platform_device_count=8").strip()
+
+import numpy as np
+import pytest
+
+
+@pytest.fixture
+def rng():
+    return np.random.default_rng(0)
