@@ -1,0 +1,85 @@
+"""Checkpoint save/resume via orbax — epoch-granular like the reference,
+strictly richer in content.
+
+Reference behaviour being rebuilt (SURVEY.md §3.4): ``do_checkpoint(prefix)``
+writes ``prefix-symbol.json`` + ``prefix-NNNN.params`` (weights + BN aux
+states) at each epoch end; resume loads ``--load-epoch N`` and restarts the
+fit loop at ``begin_epoch=N``. MXNet does NOT checkpoint optimizer momentum —
+we do (momentum, schedule step, PRNG state, and the data-iterator state), so
+resume is bit-exact rather than "close enough".
+
+Layout: ``{model_prefix}/{epoch}/`` orbax PyTree checkpoints; the epoch
+number is the orbax step, mirroring the reference's NNNN suffix.
+"""
+
+from __future__ import annotations
+
+import os
+from typing import Optional, Tuple
+
+import jax
+import numpy as np
+import orbax.checkpoint as ocp
+
+from resnet_tpu.train.state import TrainState
+
+
+def _manager(model_prefix: str, max_to_keep: Optional[int] = None):
+    path = os.path.abspath(model_prefix)
+    os.makedirs(path, exist_ok=True)
+    return ocp.CheckpointManager(
+        path, options=ocp.CheckpointManagerOptions(
+            max_to_keep=max_to_keep, create=True))
+
+
+def save_checkpoint(model_prefix: str, epoch: int, state: TrainState,
+                    iter_state: Optional[dict] = None,
+                    max_to_keep: Optional[int] = None) -> None:
+    """Epoch-end save (ref: epoch_end_callback do_checkpoint)."""
+    payload = {
+        "step": state.step,
+        "params": state.params,
+        "batch_stats": state.batch_stats,
+        "opt_state": state.opt_state,
+        "rng": state.rng,
+    }
+    with _manager(model_prefix, max_to_keep) as mgr:
+        mgr.save(epoch, args=ocp.args.Composite(
+            state=ocp.args.StandardSave(payload),
+            iter_state=ocp.args.JsonSave(iter_state or {})))
+        mgr.wait_until_finished()
+
+
+def load_checkpoint(model_prefix: str, epoch: int,
+                    state: TrainState) -> Tuple[TrainState, dict]:
+    """Resume (ref:train_resnet.py load_epoch → mx.model.load_checkpoint).
+
+    ``state`` provides the target pytree structure (like binding the symbol
+    before loading params in MXNet).
+    """
+    template = {
+        "step": state.step,
+        "params": state.params,
+        "batch_stats": state.batch_stats,
+        "opt_state": state.opt_state,
+        "rng": state.rng,
+    }
+    abstract = jax.tree.map(ocp.utils.to_shape_dtype_struct, template)
+    with _manager(model_prefix) as mgr:
+        restored = mgr.restore(epoch, args=ocp.args.Composite(
+            state=ocp.args.StandardRestore(abstract),
+            iter_state=ocp.args.JsonRestore()))
+    st = restored["state"]
+    new_state = state.replace(
+        step=st["step"], params=st["params"],
+        batch_stats=st["batch_stats"], opt_state=st["opt_state"],
+        rng=st["rng"])
+    return new_state, restored["iter_state"] or {}
+
+
+def latest_epoch(model_prefix: str) -> Optional[int]:
+    path = os.path.abspath(model_prefix)
+    if not os.path.isdir(path):
+        return None
+    with _manager(model_prefix) as mgr:
+        return mgr.latest_step()

@@ -1,0 +1,155 @@
+"""Solver: the fit loop (ref:core/solver.py Solver.fit / mx Module.fit).
+
+Per-epoch structure mirrors SURVEY.md §3.2 exactly, but the per-batch body is
+one jitted XLA program (steps.py) and the host loop only: pulls prefetched
+batches, fires the step, and every ``frequent`` batches syncs the metric
+scalars for the Speedometer. The dependency-engine run-ahead of MXNet is
+replaced by JAX async dispatch — the Python loop runs ahead of the device by
+the prefetch depth.
+"""
+
+from __future__ import annotations
+
+import time
+from typing import Optional
+
+import jax
+
+from resnet_tpu.config import Config
+from resnet_tpu.data.loader import DataIter, make_train_iter
+from resnet_tpu.data.prefetch import prefetch_to_device
+from resnet_tpu.ops import augment
+from resnet_tpu.ops.metrics import MetricAccumulator
+from resnet_tpu.parallel.mesh import make_mesh
+from resnet_tpu.train import checkpoint as ckpt
+from resnet_tpu.train.callback import BatchEndParam, Speedometer
+from resnet_tpu.train.schedule import schedule_from_config
+from resnet_tpu.train.state import TrainState, create_train_state
+from resnet_tpu.train.steps import make_eval_step, make_train_step
+from resnet_tpu.utils.logging import setup_logging
+
+
+def _augment_fns(cfg: Config):
+    """Select the on-device train/eval preprocessing for the dataset."""
+    import jax.numpy as jnp
+    dtype = jnp.bfloat16 if cfg.train.dtype == "bfloat16" else jnp.float32
+    d = cfg.data
+    if cfg.model.dataset == "cifar10":
+        train_fn = lambda imgs, rng: augment.augment_cifar(
+            imgs, rng, d, dtype)
+        eval_fn = lambda imgs: augment.normalize(
+            imgs, d.mean_rgb, d.std_rgb, dtype)
+    else:
+        out_hw = d.image_shape[:2]
+        train_fn = lambda imgs, rng: augment.augment_imagenet(
+            imgs, rng, d, out_hw, dtype)
+        eval_fn = lambda imgs: (
+            augment.eval_center_crop(imgs, d, out_hw, dtype)
+            if imgs.shape[1:3] != tuple(out_hw)
+            else augment.normalize(imgs, d.mean_rgb, d.std_rgb, dtype))
+    return train_fn, eval_fn
+
+
+class Solver:
+    """fit(train_iter, eval_iter) driver (ref:core/solver.py)."""
+
+    def __init__(self, cfg: Config, log_file: Optional[str] = None):
+        self.cfg = cfg
+        self.log = setup_logging(log_file)
+        t = cfg.train
+        n_dev = t.num_devices or len(jax.devices())
+        self.mesh = make_mesh(n_dev) if n_dev > 1 else None
+        if t.batch_size % max(n_dev, 1) != 0:
+            raise ValueError(
+                f"batch_size {t.batch_size} not divisible by {n_dev} devices")
+        aug_fn, eval_fn = _augment_fns(cfg)
+        self.train_step = make_train_step(
+            self.mesh, t.dp_mode, t.label_smooth, augment_fn=aug_fn)
+        self.eval_step = make_eval_step(
+            self.mesh, t.dp_mode, preprocess_fn=eval_fn)
+        self.schedule = schedule_from_config(cfg)
+        self.speedometer = Speedometer(t.batch_size, t.frequent)
+
+    # -- state ------------------------------------------------------------
+
+    def init_state(self) -> TrainState:
+        """Init params, or resume from --load-epoch (ref:train_resnet.py)."""
+        state = create_train_state(self.cfg)
+        self.begin_epoch = self.cfg.train.begin_epoch
+        self.iter_state = {}
+        if self.cfg.train.load_epoch is not None:
+            state, self.iter_state = ckpt.load_checkpoint(
+                self.cfg.train.model_prefix, self.cfg.train.load_epoch, state)
+            self.begin_epoch = self.cfg.train.load_epoch
+            self.log.info("Resumed from epoch %d (step %d)",
+                          self.cfg.train.load_epoch, int(state.step))
+        return state
+
+    # -- loops ------------------------------------------------------------
+
+    def train_epoch(self, state: TrainState, train_iter: DataIter,
+                    epoch: int) -> TrainState:
+        t = self.cfg.train
+        acc = MetricAccumulator()
+        self.speedometer.reset()
+        window = []   # device-resident metric dicts; synced only at log time
+        nbatch = 0
+        for batch in prefetch_to_device(
+                train_iter.epoch_iter(epoch), size=2, mesh=self.mesh):
+            state, metrics = self.train_step(state, batch)
+            nbatch += 1
+            window.append(metrics)
+            if nbatch % t.frequent == 0:
+                # the ONLY sync in the hot loop: pull `frequent` batches of
+                # scalar sums at once (MXNet syncs outputs per batch for
+                # metric.update — we are strictly lazier).
+                for m in jax.device_get(window):
+                    acc.update(m)
+                window = []
+                global_step = epoch * train_iter.steps_per_epoch + nbatch
+                lr = float(jax.device_get(self.schedule(global_step - 1)))
+                self.speedometer(BatchEndParam(
+                    epoch=epoch, nbatch=nbatch, metrics=acc.get(), lr=lr),
+                    reset_fn=acc.reset)
+        for m in jax.device_get(window):
+            acc.update(m)
+        m = acc.get()
+        self.log.info("Epoch[%d] Train-accuracy=%.6f", epoch, m["accuracy"])
+        self.log.info("Epoch[%d] Train-cross-entropy=%.6f", epoch,
+                      m["cross-entropy"])
+        return state
+
+    def validate(self, state: TrainState, eval_iter: DataIter,
+                 epoch: int) -> dict:
+        acc = MetricAccumulator()
+        for batch in prefetch_to_device(
+                eval_iter.epoch_iter(0), size=2, mesh=self.mesh):
+            acc.update(jax.device_get(self.eval_step(state, batch)))
+        m = acc.get()
+        self.log.info("Epoch[%d] Validation-accuracy=%.6f", epoch,
+                      m["accuracy"])
+        self.log.info("Epoch[%d] Validation-top_k_accuracy_5=%.6f", epoch,
+                      m["top_k_accuracy_5"])
+        self.log.info("Epoch[%d] Validation-cross-entropy=%.6f", epoch,
+                      m["cross-entropy"])
+        return m
+
+    def fit(self, train_iter: DataIter,
+            eval_iter: Optional[DataIter] = None,
+            num_epochs: Optional[int] = None) -> TrainState:
+        """The training entry (ref: Module.fit / Solver.fit)."""
+        t = self.cfg.train
+        state = self.init_state()
+        num_epochs = num_epochs or t.num_epochs
+        for epoch in range(self.begin_epoch, num_epochs):
+            tic = time.perf_counter()
+            state = self.train_epoch(state, train_iter, epoch)
+            self.log.info("Epoch[%d] Time cost=%.3f", epoch,
+                          time.perf_counter() - tic)
+            if eval_iter is not None:
+                self.validate(state, eval_iter, epoch)
+            if t.model_prefix:
+                ckpt.save_checkpoint(
+                    t.model_prefix, epoch + 1, state,
+                    iter_state=train_iter.state_dict())
+        return state

@@ -28,6 +28,7 @@ class TrainState:
     params: Any
     batch_stats: Any
     opt_state: Any
+    rng: jnp.ndarray          # base PRNG key; per-step keys fold in `step`
     apply_fn: Callable = flax.struct.field(pytree_node=False)
     tx: optax.GradientTransformation = flax.struct.field(pytree_node=False)
 
@@ -55,6 +56,7 @@ def create_train_state(cfg: Config, rng=None) -> TrainState:
         params=variables["params"],
         batch_stats=variables["batch_stats"],
         opt_state=tx.init(variables["params"]),
+        rng=jax.random.key_data(jax.random.fold_in(rng, 1)),
         apply_fn=model.apply,
         tx=tx,
     )

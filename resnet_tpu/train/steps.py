@@ -37,9 +37,22 @@ from resnet_tpu.train.state import TrainState
 
 
 def train_step(state: TrainState, batch, label_smooth: float = 0.0,
-               axis_name: Optional[str] = None):
-    """One SGD step. Pure; jit/shard_map wrappers below."""
+               axis_name: Optional[str] = None,
+               augment_fn: Optional[Callable] = None):
+    """One SGD step. Pure; jit/shard_map wrappers below.
+
+    ``augment_fn(images_u8, rng) -> images`` runs INSIDE this XLA program
+    (fused on-device augmentation — SURVEY.md §7.6); per-step randomness is
+    ``fold_in(state.rng, state.step)`` (+ axis index under shard_map), so a
+    resumed run replays the identical augmentation stream.
+    """
     images, labels = batch["image"], batch["label"]
+    if augment_fn is not None:
+        rng = jax.random.wrap_key_data(state.rng)
+        rng = jax.random.fold_in(rng, state.step)
+        if axis_name is not None:
+            rng = jax.random.fold_in(rng, jax.lax.axis_index(axis_name))
+        images = augment_fn(images, rng)
 
     def loss_fn(params):
         logits, mutated = state.apply_fn(
@@ -64,10 +77,13 @@ def train_step(state: TrainState, batch, label_smooth: float = 0.0,
     return new_state, metrics
 
 
-def eval_step(state: TrainState, batch, axis_name: Optional[str] = None):
+def eval_step(state: TrainState, batch, axis_name: Optional[str] = None,
+              preprocess_fn: Optional[Callable] = None):
     """Validation forward (running-average BN) + metric sums."""
     images, labels = batch["image"], batch["label"]
     mask = batch.get("mask")
+    if preprocess_fn is not None:
+        images = preprocess_fn(images)
     logits = state.apply_fn(
         {"params": state.params, "batch_stats": state.batch_stats},
         images, train=False)
@@ -79,7 +95,8 @@ def eval_step(state: TrainState, batch, axis_name: Optional[str] = None):
 
 
 def make_train_step(mesh: Optional[Mesh] = None, dp_mode: str = "jit",
-                    label_smooth: float = 0.0) -> Callable:
+                    label_smooth: float = 0.0,
+                    augment_fn: Optional[Callable] = None) -> Callable:
     """Compile the train step for the given mesh/mode.
 
     Returns ``f(state, batch) -> (state, metrics)`` with the state donated
@@ -87,18 +104,20 @@ def make_train_step(mesh: Optional[Mesh] = None, dp_mode: str = "jit",
     by XLA aliasing instead of engine var-sequencing).
     """
     if mesh is None:
-        fn = partial(train_step, label_smooth=label_smooth)
+        fn = partial(train_step, label_smooth=label_smooth,
+                     augment_fn=augment_fn)
         return jax.jit(fn, donate_argnums=0)
 
     if dp_mode == "jit":
-        fn = partial(train_step, label_smooth=label_smooth)
+        fn = partial(train_step, label_smooth=label_smooth,
+                     augment_fn=augment_fn)
         repl, shard = replicated(mesh), batch_sharded(mesh)
         return jax.jit(fn, in_shardings=(repl, shard),
                        out_shardings=(repl, repl), donate_argnums=0)
 
     if dp_mode == "shard_map":
         fn = partial(train_step, label_smooth=label_smooth,
-                     axis_name=DATA_AXIS)
+                     axis_name=DATA_AXIS, augment_fn=augment_fn)
         smapped = jax.shard_map(
             fn, mesh=mesh,
             in_specs=(P(), P(DATA_AXIS)),
@@ -109,16 +128,17 @@ def make_train_step(mesh: Optional[Mesh] = None, dp_mode: str = "jit",
     raise ValueError(f"unknown dp_mode {dp_mode!r}")
 
 
-def make_eval_step(mesh: Optional[Mesh] = None,
-                   dp_mode: str = "jit") -> Callable:
+def make_eval_step(mesh: Optional[Mesh] = None, dp_mode: str = "jit",
+                   preprocess_fn: Optional[Callable] = None) -> Callable:
     if mesh is None:
-        return jax.jit(eval_step)
+        return jax.jit(partial(eval_step, preprocess_fn=preprocess_fn))
     if dp_mode == "jit":
         repl, shard = replicated(mesh), batch_sharded(mesh)
-        return jax.jit(eval_step, in_shardings=(repl, shard),
-                       out_shardings=repl)
+        return jax.jit(partial(eval_step, preprocess_fn=preprocess_fn),
+                       in_shardings=(repl, shard), out_shardings=repl)
     if dp_mode == "shard_map":
-        fn = partial(eval_step, axis_name=DATA_AXIS)
+        fn = partial(eval_step, axis_name=DATA_AXIS,
+                     preprocess_fn=preprocess_fn)
         smapped = jax.shard_map(
             fn, mesh=mesh,
             in_specs=(P(), P(DATA_AXIS)),

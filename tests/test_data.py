@@ -1,0 +1,204 @@
+"""Data-plane tests: RecordIO format, im2rec round trip, native loader,
+record pipeline — the analog of mxnet tests/python/unittest/test_io.py
+(packs small fixtures on the fly, checks shapes/determinism/sharding
+disjointness — SURVEY.md §4).
+"""
+
+import io
+import os
+import struct
+
+import numpy as np
+import pytest
+
+from resnet_tpu.data import recordio as rio
+from resnet_tpu.data.loader import MemoryIter, SyntheticIter, synthetic_cifar
+
+
+@pytest.fixture(scope="module")
+def tiny_imageset(tmp_path_factory):
+    """16-image, 4-class JPEG tree + packed .rec/.idx."""
+    from PIL import Image
+    root = tmp_path_factory.mktemp("imgs")
+    rng = np.random.default_rng(0)
+    for cls in range(4):
+        d = root / f"class_{cls}"
+        d.mkdir()
+        for i in range(4):
+            arr = np.full((40 + 4 * cls, 48, 3), cls * 60 + 20, np.uint8)
+            arr += rng.integers(0, 20, arr.shape, dtype=np.uint8)
+            Image.fromarray(arr).save(d / f"img_{i}.jpg", quality=95)
+    from resnet_tpu.data.im2rec import build_list, pack
+    prefix = str(root / "train")
+    entries = build_list(str(root))
+    pack(str(root), prefix, entries, resize=0, quality=95)
+    return {"root": str(root), "prefix": prefix, "entries": entries}
+
+
+class TestRecordIOFormat:
+    def test_round_trip(self, tmp_path):
+        path = str(tmp_path / "t.rec")
+        payloads = [b"hello", b"x" * 1000, b"", b"\x01\x02\x03"]
+        with rio.RecordIOWriter(path, path + ".idx") as w:
+            for p in payloads:
+                w.write(p)
+        r = rio.RecordIOReader(path, path + ".idx")
+        assert list(r) == payloads
+        # random access via idx
+        assert r.read_at(r.offsets[1]) == payloads[1]
+
+    def test_magic_in_payload(self, tmp_path):
+        """dmlc splits records at embedded magic words; verify rejoin."""
+        path = str(tmp_path / "t.rec")
+        magic = struct.pack("<I", rio.MAGIC)
+        payloads = [b"abcd" + magic + b"efgh",
+                    magic * 3,
+                    b"ab" + magic + b"cd"]  # unaligned magic: not split
+        with rio.RecordIOWriter(path) as w:
+            for p in payloads:
+                w.write(p)
+        assert list(rio.RecordIOReader(path)) == payloads
+
+    def test_scan_offsets_matches_idx(self, tmp_path):
+        path = str(tmp_path / "t.rec")
+        with rio.RecordIOWriter(path, path + ".idx") as w:
+            for i in range(10):
+                w.write(bytes([i]) * (i + 1))
+        r1 = rio.RecordIOReader(path, path + ".idx")
+        r2 = rio.RecordIOReader(path)
+        assert r2.scan_offsets() == r1.offsets
+
+    def test_image_record_header(self):
+        img = b"\xff\xd8fakejpeg"
+        data = rio.pack_image_record(img, label=7.0, rec_id=42)
+        rec = rio.unpack_image_record(data)
+        assert rec.label == 7.0 and rec.id == 42 and rec.image == img
+
+    def test_extra_labels(self):
+        data = rio.pack_image_record(b"im", label=0.0,
+                                     extra_labels=(3.0, 4.0))
+        rec = rio.unpack_image_record(data)
+        assert rec.label == 3.0 and rec.extra_labels == (3.0, 4.0)
+
+
+class TestNativeLoader:
+    def test_reads_packed_shard(self, tiny_imageset):
+        from resnet_tpu.data.native import NativeRecordLoader
+        ld = NativeRecordLoader(tiny_imageset["prefix"] + ".rec",
+                                tiny_imageset["prefix"] + ".idx",
+                                canvas_hw=(32, 32), threads=2)
+        assert ld.num_records == 16
+        ld.begin_epoch(0, shuffle=False, seed=0)
+        images, labels = ld.next_batch(16)
+        assert images.shape == (16, 32, 32, 3)
+        assert sorted(labels.tolist()) == sorted(
+            [e[1] for e in tiny_imageset["entries"]])
+        # class 0 images are dark (~30), class 3 bright (~200): decode sane
+        by_label = {int(l): images[i].mean()
+                    for i, l in enumerate(labels)}
+        assert by_label[0] < by_label[3]
+
+    def test_shuffle_deterministic(self, tiny_imageset):
+        from resnet_tpu.data.native import NativeRecordLoader
+        ld = NativeRecordLoader(tiny_imageset["prefix"] + ".rec", None,
+                                canvas_hw=(16, 16), threads=1)
+        ld.begin_epoch(3, shuffle=True, seed=7)
+        _, l1 = ld.next_batch(16)
+        ld.begin_epoch(3, shuffle=True, seed=7)
+        _, l2 = ld.next_batch(16)
+        ld.begin_epoch(4, shuffle=True, seed=7)
+        _, l3 = ld.next_batch(16)
+        assert l1.tolist() == l2.tolist()
+        assert l1.tolist() != l3.tolist()
+
+    def test_sharding_disjoint(self, tiny_imageset):
+        """num_parts/part_index must partition the records (the mxnet
+        test_io.py dist-sharding check)."""
+        from resnet_tpu.data.native import NativeRecordLoader
+        seen = []
+        for part in range(4):
+            ld = NativeRecordLoader(
+                tiny_imageset["prefix"] + ".rec",
+                tiny_imageset["prefix"] + ".idx",
+                canvas_hw=(16, 16), threads=1, num_parts=4, part_index=part)
+            assert ld.num_records == 4
+            ld.begin_epoch(0, shuffle=False, seed=0)
+            imgs, labels = ld.next_batch(8)
+            assert len(imgs) == 4  # partial batch at epoch end
+            seen.extend(imgs.reshape(4, -1).sum(1).tolist())
+        assert len(seen) == 16
+
+    def test_epoch_end_partial(self, tiny_imageset):
+        from resnet_tpu.data.native import NativeRecordLoader
+        ld = NativeRecordLoader(tiny_imageset["prefix"] + ".rec", None,
+                                canvas_hw=(16, 16), threads=2)
+        ld.begin_epoch(0, shuffle=False, seed=0)
+        i1, _ = ld.next_batch(10)
+        i2, _ = ld.next_batch(10)
+        i3, _ = ld.next_batch(10)
+        assert len(i1) == 10 and len(i2) == 6 and len(i3) == 0
+
+
+class TestRecordIter:
+    def test_end_to_end(self, tiny_imageset):
+        from resnet_tpu.config import Config
+        from resnet_tpu.data.pipeline import RecordIter
+        cfg = Config()
+        cfg.data.data_dir = tiny_imageset["root"]
+        cfg.data.train_rec = "train.rec"
+        cfg.data.train_idx = "train.idx"
+        cfg.data.val_rec = "train.rec"
+        cfg.data.val_idx = "train.idx"
+        cfg.data.image_shape = (32, 32, 3)
+        cfg.data.preprocess_threads = 2
+        cfg.train.batch_size = 8
+        train_it = RecordIter(cfg, train=True)
+        assert train_it.steps_per_epoch == 2
+        batches = list(train_it.epoch_iter(0))
+        assert len(batches) == 2
+        assert batches[0]["image"].shape == (8, 32, 32, 3)
+        assert batches[0]["label"].dtype == np.int32
+
+        val_it = RecordIter(cfg, train=False)
+        vb = list(val_it.epoch_iter(0))
+        assert val_it.steps_per_epoch == 2
+        assert vb[-1]["mask"].sum() == 8  # full batches, mask all-ones
+
+    def test_val_padding_mask(self, tiny_imageset):
+        from resnet_tpu.config import Config
+        from resnet_tpu.data.pipeline import RecordIter
+        cfg = Config()
+        cfg.data.data_dir = tiny_imageset["root"]
+        cfg.data.val_rec = "train.rec"
+        cfg.data.val_idx = "train.idx"
+        cfg.data.image_shape = (32, 32, 3)
+        cfg.train.batch_size = 5
+        val_it = RecordIter(cfg, train=False)
+        vb = list(val_it.epoch_iter(0))
+        assert val_it.steps_per_epoch == 4
+        assert vb[-1]["mask"].tolist() == [1.0, 0.0, 0.0, 0.0, 0.0]
+
+    def test_canvas_size(self):
+        from resnet_tpu.data.pipeline import canvas_size
+        assert canvas_size((224, 224)) == (256, 256)
+        assert canvas_size((32, 32)) == (32, 32)
+
+
+class TestMemoryIter:
+    def test_determinism_and_sharding(self):
+        images, labels = synthetic_cifar(64, 4, (8, 8, 3), seed=0)
+        it = MemoryIter(images, labels, batch_size=8, seed=5)
+        b1 = [b["label"].tolist() for b in it.epoch_iter(2)]
+        b2 = [b["label"].tolist() for b in it.epoch_iter(2)]
+        b3 = [b["label"].tolist() for b in it.epoch_iter(3)]
+        assert b1 == b2 and b1 != b3
+        parts = [MemoryIter(images, labels, 8, num_parts=2, part_index=i)
+                 for i in range(2)]
+        assert parts[0].steps_per_epoch == 4
+        assert len(parts[0].images) + len(parts[1].images) == 64
+
+    def test_synthetic_iter(self):
+        it = SyntheticIter(4, (8, 8, 3), 10, steps_per_epoch=3)
+        batches = list(it.epoch_iter(0))
+        assert len(batches) == 3
+        assert batches[0]["image"].shape == (4, 8, 8, 3)

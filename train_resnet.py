@@ -1,0 +1,39 @@
+#!/usr/bin/env python
+"""Training entrypoint — the rebuild of ref:train_resnet.py.
+
+Same shape as the reference's main(): load config (CLI over presets),
+set up logging, build data iterators, build the solver (model + optimizer +
+jitted steps over the device mesh), optionally resume, fit.
+
+Examples:
+    python train_resnet.py --preset cifar10_resnet18 --num-epochs 5
+    python train_resnet.py --network resnet --depth 50 --batch-size 256 \
+        --lr 0.1 --lr-steps 30,60,90 --data-dir /data/imagenet
+    python train_resnet.py --preset imagenet_resnet101_bf16 --remat
+"""
+
+from __future__ import annotations
+
+import sys
+
+
+def main(argv=None):
+    from resnet_tpu.config import parse_config
+    from resnet_tpu.data.loader import make_train_iter, make_val_iter
+    from resnet_tpu.parallel.dist import maybe_init_distributed, proc_info
+    from resnet_tpu.train.solver import Solver
+
+    cfg = parse_config(argv)
+    maybe_init_distributed()
+    num_parts, part_index = proc_info()
+
+    solver = Solver(cfg, log_file=f"{cfg.train.model_prefix}.log"
+                    if cfg.train.model_prefix else None)
+    solver.log.info("config: %s", cfg)
+    train_iter = make_train_iter(cfg, num_parts, part_index)
+    val_iter = make_val_iter(cfg, num_parts, part_index)
+    solver.fit(train_iter, val_iter)
+
+
+if __name__ == "__main__":
+    main(sys.argv[1:])
