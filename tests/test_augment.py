@@ -1,0 +1,152 @@
+"""Augmentation tests vs NumPy oracles (SURVEY.md §7.6 parity tests).
+
+The oracle implements the cv2/MXNet bilinear convention
+(s_i = start + (i+0.5)*size/out - 0.5, clamped) that
+mxnet src/io/image_aug_default.cc uses via cv::resize(INTER_LINEAR).
+"""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from resnet_tpu.config import DataConfig
+from resnet_tpu.ops import augment
+
+
+def oracle_crop_resize(img, y0, x0, ch, cw, oh, ow, flip=False):
+    """NumPy bilinear crop-resize, cv2 coordinate convention."""
+    sh, sw, c = img.shape
+    out = np.zeros((oh, ow, c), np.float32)
+    for i in range(oh):
+        sy = np.clip(y0 + (i + 0.5) * ch / oh - 0.5, 0, sh - 1)
+        yy0 = int(np.floor(sy))
+        yy1 = min(yy0 + 1, sh - 1)
+        wy = sy - yy0
+        for j in range(ow):
+            jj = ow - 1 - j if flip else j
+            sx = np.clip(x0 + (jj + 0.5) * cw / ow - 0.5, 0, sw - 1)
+            xx0 = int(np.floor(sx))
+            xx1 = min(xx0 + 1, sw - 1)
+            wx = sx - xx0
+            v0 = img[yy0, xx0] * (1 - wx) + img[yy0, xx1] * wx
+            v1 = img[yy1, xx0] * (1 - wx) + img[yy1, xx1] * wx
+            out[i, j] = v0 * (1 - wy) + v1 * wy
+    return out
+
+
+class TestCropResize:
+    def test_matches_oracle(self):
+        rng = np.random.default_rng(0)
+        imgs = rng.integers(0, 256, (3, 24, 20, 3), np.uint8)
+        y0 = np.array([1.5, 0.0, 3.2], np.float32)
+        x0 = np.array([2.0, 0.5, 0.0], np.float32)
+        ch = np.array([16.0, 24.0, 10.7], np.float32)
+        cw = np.array([12.0, 20.0, 15.0], np.float32)
+        got = augment.crop_resize_bilinear(
+            jnp.asarray(imgs), (jnp.asarray(y0), jnp.asarray(x0),
+                                jnp.asarray(ch), jnp.asarray(cw)),
+            (8, 8))
+        for k in range(3):
+            want = oracle_crop_resize(
+                imgs[k].astype(np.float32), y0[k], x0[k], ch[k], cw[k], 8, 8)
+            np.testing.assert_allclose(np.asarray(got[k]), want,
+                                       atol=1e-3, rtol=1e-5)
+
+    def test_flip_folded_into_weights(self):
+        rng = np.random.default_rng(1)
+        imgs = rng.integers(0, 256, (2, 16, 16, 3), np.uint8)
+        boxes = (jnp.zeros(2), jnp.zeros(2),
+                 jnp.full((2,), 16.0), jnp.full((2,), 16.0))
+        flip = jnp.asarray([True, False])
+        got = augment.crop_resize_bilinear(jnp.asarray(imgs), boxes,
+                                           (16, 16), flip=flip)
+        noflip = augment.crop_resize_bilinear(jnp.asarray(imgs), boxes,
+                                              (16, 16))
+        np.testing.assert_allclose(np.asarray(got[0]),
+                                   np.asarray(noflip[0])[:, ::-1], atol=1e-3)
+        np.testing.assert_allclose(np.asarray(got[1]),
+                                   np.asarray(noflip[1]), atol=1e-3)
+
+    def test_identity(self):
+        rng = np.random.default_rng(2)
+        imgs = rng.integers(0, 256, (1, 12, 12, 3), np.uint8)
+        boxes = (jnp.zeros(1), jnp.zeros(1),
+                 jnp.full((1,), 12.0), jnp.full((1,), 12.0))
+        got = augment.crop_resize_bilinear(jnp.asarray(imgs), boxes, (12, 12))
+        np.testing.assert_allclose(np.asarray(got[0]),
+                                   imgs[0].astype(np.float32), atol=1e-3)
+
+
+class TestCropSampling:
+    def test_bounds(self):
+        y0, x0, ch, cw = augment.sample_crop_boxes(
+            jax.random.key(0), 512, 256, 256, 0.08, 1.0, 4 / 3)
+        y0, x0, ch, cw = map(np.asarray, (y0, x0, ch, cw))
+        area = ch * cw / (256.0 * 256.0)
+        assert area.min() >= 0.05 and area.max() <= 1.001
+        aspect = cw / ch
+        assert aspect.min() >= 3 / 4 - 1e-3 and aspect.max() <= 4 / 3 + 1e-3
+        assert (y0 >= -1e-3).all() and (y0 + ch <= 256 + 1e-3).all()
+        assert (x0 >= -1e-3).all() and (x0 + cw <= 256 + 1e-3).all()
+
+    def test_degenerate_full_crop(self):
+        """min_area=max_area=1, aspect=1 -> always the full square."""
+        y0, x0, ch, cw = augment.sample_crop_boxes(
+            jax.random.key(1), 16, 32, 32, 1.0, 1.0, 1.0)
+        np.testing.assert_allclose(np.asarray(ch), 32.0, atol=1e-4)
+        np.testing.assert_allclose(np.asarray(cw), 32.0, atol=1e-4)
+
+
+class TestHSL:
+    def test_zero_jitter_identity(self):
+        rng = np.random.default_rng(3)
+        imgs = rng.integers(0, 256, (2, 8, 8, 3)).astype(np.float32)
+        out = augment._rgb_to_hsl_adjust(
+            jnp.asarray(imgs), jax.random.key(0), 0.0, 0.0, 0.0)
+        np.testing.assert_allclose(np.asarray(out), imgs, atol=0.51)
+
+    def test_range_preserved(self):
+        rng = np.random.default_rng(4)
+        imgs = rng.integers(0, 256, (2, 8, 8, 3)).astype(np.float32)
+        out = np.asarray(augment._rgb_to_hsl_adjust(
+            jnp.asarray(imgs), jax.random.key(1), 36.0, 50.0, 50.0))
+        assert out.min() >= 0.0 and out.max() <= 255.0
+        assert not np.allclose(out, imgs)  # jitter actually does something
+
+
+class TestPipelines:
+    def test_cifar_augment_shapes_and_range(self):
+        cfg = DataConfig(mean_rgb=(125.3, 123.0, 113.9),
+                         std_rgb=(63.0, 62.1, 66.7))
+        imgs = np.random.default_rng(0).integers(
+            0, 256, (4, 32, 32, 3), np.uint8)
+        out = augment.augment_cifar(jnp.asarray(imgs), jax.random.key(0),
+                                    cfg, jnp.float32)
+        assert out.shape == (4, 32, 32, 3) and out.dtype == jnp.float32
+        assert np.abs(np.asarray(out)).max() < 5.0  # normalized range
+
+    def test_imagenet_augment(self):
+        cfg = DataConfig(random_h=36, random_s=50, random_l=50)
+        imgs = np.random.default_rng(0).integers(
+            0, 256, (2, 64, 64, 3), np.uint8)
+        out = augment.augment_imagenet(jnp.asarray(imgs), jax.random.key(0),
+                                       cfg, (56, 56), jnp.bfloat16)
+        assert out.shape == (2, 56, 56, 3) and out.dtype == jnp.bfloat16
+
+    def test_eval_center_crop(self):
+        cfg = DataConfig(mean_rgb=(0, 0, 0), std_rgb=(1, 1, 1))
+        imgs = np.arange(8 * 8 * 3, dtype=np.uint8).reshape(1, 8, 8, 3)
+        out = augment.eval_center_crop(jnp.asarray(imgs), cfg, (4, 4))
+        np.testing.assert_allclose(
+            np.asarray(out[0]), imgs[0, 2:6, 2:6].astype(np.float32))
+
+    def test_determinism(self):
+        cfg = DataConfig()
+        imgs = np.random.default_rng(0).integers(
+            0, 256, (2, 48, 48, 3), np.uint8)
+        a = augment.augment_imagenet(jnp.asarray(imgs), jax.random.key(5),
+                                     cfg, (32, 32))
+        b = augment.augment_imagenet(jnp.asarray(imgs), jax.random.key(5),
+                                     cfg, (32, 32))
+        np.testing.assert_array_equal(np.asarray(a), np.asarray(b))

@@ -1,0 +1,154 @@
+"""Solver end-to-end tests on the virtual 8-device CPU mesh.
+
+The TPU-world analog of mxnet's Module/fit tests + the local-process
+dist_sync test (SURVEY.md §4): tiny model, synthetic separable data, a few
+fit steps -> loss decreases; checkpoint save -> resume -> bitwise state
+match; both DP modes execute on the fake mesh.
+"""
+
+import os
+
+import jax
+import numpy as np
+import pytest
+
+from resnet_tpu.config import cifar10_resnet18
+from resnet_tpu.data.loader import MemoryIter, synthetic_cifar
+from resnet_tpu.train import checkpoint as ckpt
+from resnet_tpu.train.solver import Solver
+from resnet_tpu.train.state import create_train_state
+
+
+def tiny_cfg(tmpdir="", num_devices=1, dp_mode="jit"):
+    cfg = cifar10_resnet18()
+    cfg.model.depth = 20
+    cfg.data.num_examples = 256
+    cfg.data.image_shape = (16, 16, 3)
+    cfg.train.batch_size = 32
+    cfg.train.num_epochs = 2
+    cfg.train.frequent = 2
+    cfg.train.lr = 0.05
+    cfg.train.model_prefix = os.path.join(tmpdir, "ck") if tmpdir else ""
+    cfg.train.num_devices = num_devices
+    cfg.train.dp_mode = dp_mode
+    # fast-converging BN running stats so eval-mode checks stabilize in a
+    # handful of steps (bn_mom=0.9 needs ~50 steps to warm up)
+    cfg.model.bn_mom = 0.5
+    return cfg
+
+
+class TestFit:
+    @pytest.mark.parametrize("dp_mode,ndev", [
+        ("jit", 1), ("jit", 8), ("shard_map", 8)])
+    def test_loss_decreases(self, dp_mode, ndev):
+        cfg = tiny_cfg(num_devices=ndev, dp_mode=dp_mode)
+        solver = Solver(cfg)
+        images, labels = synthetic_cifar(256, 10, (16, 16, 3), seed=0)
+        it = MemoryIter(images, labels, 32, seed=0)
+        state = solver.init_state()
+        state = solver.train_epoch(state, it, 0)
+        m1 = dict(solver.last_train_metrics)
+        state = solver.train_epoch(state, it, 1)
+        state = solver.train_epoch(state, it, 2)
+        m3 = dict(solver.last_train_metrics)
+        assert m3["cross-entropy"] < m1["cross-entropy"]
+        assert m3["accuracy"] >= m1["accuracy"]
+        # eval path runs and returns the metric trio
+        v = solver.validate(state, it, 2)
+        assert set(v) == {"accuracy", "top_k_accuracy_5", "cross-entropy"}
+
+    def test_dp_modes_agree(self):
+        """GSPMD jit vs explicit shard_map psum: same data, same init ->
+        both must learn; exact equality NOT expected (BN semantics differ:
+        global-batch vs per-replica stats — SURVEY.md §7 hard part 3)."""
+        images, labels = synthetic_cifar(128, 10, (16, 16, 3), seed=1)
+        accs = {}
+        for mode in ["jit", "shard_map"]:
+            # 4 devices -> per-replica batch 8: per-replica BN stats are
+            # usable (at 4/replica the BN noise genuinely stalls learning,
+            # which is faithful to MXNet per-GPU BN but not a useful test)
+            cfg = tiny_cfg(num_devices=4, dp_mode=mode)
+            solver = Solver(cfg)
+            it = MemoryIter(images, labels, 32, seed=0)
+            state = solver.init_state()
+            for ep in range(6):
+                state = solver.train_epoch(state, it, ep)
+            # train-mode accuracy: avoids BN running-stat warm-up noise
+            accs[mode] = solver.last_train_metrics["accuracy"]
+        assert accs["jit"] > 0.6 and accs["shard_map"] > 0.6, accs
+
+    def test_shard_map_matches_jit_single_device(self):
+        """On ONE device the two DP modes are the same math — outputs must
+        match to numerical noise (catches psum/pmean bookkeeping bugs)."""
+        import jax.numpy as jnp
+        from resnet_tpu.train.steps import make_train_step
+        from resnet_tpu.parallel.mesh import make_mesh
+        cfg = tiny_cfg(num_devices=1)
+        mesh = make_mesh(1)
+        images, labels = synthetic_cifar(32, 10, (16, 16, 3), seed=2)
+        batch = {"image": jnp.asarray(images), "label": jnp.asarray(labels)}
+        outs = {}
+        for mode in ["jit", "shard_map"]:
+            state = create_train_state(cfg)
+            step = make_train_step(mesh, dp_mode=mode)
+            new_state, metrics = step(state, batch)
+            outs[mode] = (jax.tree.leaves(new_state.params)[0],
+                          metrics["loss_sum"])
+        np.testing.assert_allclose(np.asarray(outs["jit"][0]),
+                                   np.asarray(outs["shard_map"][0]),
+                                   rtol=1e-5, atol=1e-6)
+        np.testing.assert_allclose(float(outs["jit"][1]),
+                                   float(outs["shard_map"][1]), rtol=1e-5)
+
+
+class TestCheckpoint:
+    def test_save_restore_bitwise(self, tmp_path):
+        cfg = tiny_cfg(str(tmp_path))
+        state = create_train_state(cfg)
+        ckpt.save_checkpoint(cfg.train.model_prefix, 3, state,
+                             iter_state={"epoch": 3})
+        state2 = create_train_state(cfg.replace())  # fresh init
+        restored, iter_state = ckpt.load_checkpoint(
+            cfg.train.model_prefix, 3, state2)
+        assert iter_state == {"epoch": 3}
+        for a, b in zip(jax.tree.leaves(state.params),
+                        jax.tree.leaves(restored.params)):
+            np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+        for a, b in zip(jax.tree.leaves(state.opt_state),
+                        jax.tree.leaves(restored.opt_state)):
+            np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+        assert ckpt.latest_epoch(cfg.train.model_prefix) == 3
+
+    def test_resume_continues_training(self, tmp_path):
+        cfg = tiny_cfg(str(tmp_path))
+        cfg.train.num_epochs = 1
+        solver = Solver(cfg)
+        images, labels = synthetic_cifar(128, 10, (16, 16, 3), seed=0)
+        it = MemoryIter(images, labels, 32, seed=0)
+        state = solver.fit(it, None, num_epochs=1)
+        step_after_1 = int(state.step)
+
+        cfg2 = tiny_cfg(str(tmp_path))
+        cfg2.train.load_epoch = 1
+        cfg2.train.num_epochs = 2
+        solver2 = Solver(cfg2)
+        state2 = solver2.fit(it, None, num_epochs=2)
+        assert int(state2.step) == 2 * step_after_1
+        assert solver2.begin_epoch == 1
+
+
+class TestSpeedometerFormat:
+    def test_log_line_shape(self, caplog):
+        import logging
+        from resnet_tpu.train.callback import BatchEndParam, Speedometer
+        sp = Speedometer(batch_size=32, frequent=2)
+        logger = logging.getLogger("resnet_tpu")
+        logger.propagate = True  # let caplog's root handler see records
+        logger.setLevel(logging.INFO)
+        with caplog.at_level(logging.INFO, logger="resnet_tpu"):
+            for nb in range(1, 5):
+                sp(BatchEndParam(epoch=0, nbatch=nb,
+                                 metrics={"accuracy": 0.5}, lr=0.1))
+        lines = [r.getMessage() for r in caplog.records]
+        assert any("Speed:" in ln and "samples/sec" in ln and
+                   "Epoch[0]" in ln for ln in lines)
