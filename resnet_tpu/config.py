@@ -83,6 +83,7 @@ class TrainConfig:
     begin_epoch: int = 0
     dtype: str = "float32"            # float32 | bfloat16
     remat: bool = False               # memonger equivalent (jax.checkpoint)
+    fused_convbn: bool = False        # Pallas 1x1-conv+BN-stats kernels
     label_smooth: float = 0.0
     seed: int = 0
     # Parallelism
@@ -201,6 +202,8 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--dtype", choices=["float32", "bfloat16"], default=None)
     p.add_argument("--remat", action="store_true", default=None,
                    help="gradient checkpointing (reference: --memonger)")
+    p.add_argument("--fused-convbn", action="store_true", default=None,
+                   help="Pallas fused 1x1-conv+BN-stats kernels")
     p.add_argument("--seed", type=int, default=None)
     # parallel
     p.add_argument("--num-devices", type=int, default=None,
@@ -244,6 +247,7 @@ def config_from_args(args: argparse.Namespace) -> Config:
     if args.load_epoch is not None: t["load_epoch"] = args.load_epoch
     if args.dtype is not None: t["dtype"] = args.dtype
     if args.remat: t["remat"] = True
+    if args.fused_convbn: t["fused_convbn"] = True
     if args.seed is not None: t["seed"] = args.seed
     if args.num_devices is not None: t["num_devices"] = args.num_devices
     if args.dp_mode is not None: t["dp_mode"] = args.dp_mode

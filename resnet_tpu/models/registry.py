@@ -51,9 +51,12 @@ def model_spec(m: ModelConfig, num_classes: int):
     return units, filters, bottleneck, cifar
 
 
-def get_model(cfg: Config, dtype: Any = None, remat: bool = None) -> ResNet:
+def get_model(cfg: Config, dtype: Any = None, remat: bool = None,
+              fused: bool = None, pallas_interpret: bool = False) -> ResNet:
     m = cfg.model
     units, filters, bottleneck, cifar = model_spec(m, cfg.data.num_classes)
+    if fused is None:
+        fused = getattr(cfg.train, "fused_convbn", False)
     return ResNet(
         units=units,
         filters=filters,
@@ -67,4 +70,6 @@ def get_model(cfg: Config, dtype: Any = None, remat: bool = None) -> ResNet:
         bn_eps=m.bn_eps,
         dtype=dtype if dtype is not None else _DTYPES[cfg.train.dtype],
         remat=cfg.train.remat if remat is None else remat,
+        fused=fused,
+        pallas_interpret=pallas_interpret,
     )

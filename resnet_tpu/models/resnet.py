@@ -93,6 +93,8 @@ class ResidualUnit(nn.Module):
     bn_mom: float = 0.9
     bn_eps: float = 2e-5
     dtype: Any = jnp.float32
+    fused: bool = False           # Pallas conv1x1+BN-stats path (v1 only)
+    pallas_interpret: bool = False
 
     @nn.compact
     def __call__(self, x, train: bool):
@@ -130,6 +132,28 @@ class ResidualUnit(nn.Module):
             return y + shortcut
 
         # v1: post-activation
+        use_fused = (self.fused and self.bottleneck
+                     and self.cardinality == 1)
+        if use_fused:
+            # Pallas path: BN statistics fused into the 1x1 convs' MXU
+            # pass (see ops/fused_convbn.py). Param tree identical.
+            from resnet_tpu.models.fused import fused_conv_bn
+            fkw = dict(train=train, bn_mom=self.bn_mom, bn_eps=self.bn_eps,
+                       dtype=self.dtype, interpret=self.pallas_interpret)
+            shortcut = x
+            if not self.dim_match:
+                shortcut = fused_conv_bn(
+                    x, self.filters, self.strides, "sc", "sc_bn",
+                    relu=False, **fkw)
+            y = fused_conv_bn(x, mid, (1, 1), "conv1", "bn1", relu=True,
+                              **fkw)
+            y = conv(mid, (3, 3), self.strides, padding=((1, 1), (1, 1)),
+                     name="conv2")(y)
+            y = relu(bn("bn2")(y, use_running_average=ra))
+            y = fused_conv_bn(y, self.filters, (1, 1), "conv3", "bn3",
+                              relu=False, **fkw)
+            return relu(y + shortcut)
+
         shortcut = x
         if not self.dim_match:
             shortcut = conv(self.filters, (1, 1), self.strides, name="sc")(x)
@@ -173,6 +197,8 @@ class ResNet(nn.Module):
     bn_eps: float = 2e-5
     dtype: Any = jnp.float32
     remat: bool = False
+    fused: bool = False           # Pallas conv1x1+BN-stats path (v1 only)
+    pallas_interpret: bool = False
 
     @nn.compact
     def __call__(self, x, train: bool = False):
@@ -231,6 +257,8 @@ class ResNet(nn.Module):
                     cardinality=self.cardinality if self.bottleneck else 1,
                     mid_filters=mid, bn_mom=self.bn_mom, bn_eps=self.bn_eps,
                     dtype=self.dtype,
+                    fused=self.fused and self.version == 1,
+                    pallas_interpret=self.pallas_interpret,
                     name=f"stage{stage + 1}_unit{unit + 1}",
                 )(x, train)
 
