@@ -74,6 +74,7 @@ class TrainConfig:
     warmup: bool = False
     warmup_lr: float = 0.0
     warmup_epochs: int = 5
+    optimizer: str = "sgd"            # sgd | nag (ref: mx.optimizer SGD/NAG)
     mom: float = 0.9
     wd: float = 1e-4
     num_epochs: int = 100
@@ -86,6 +87,8 @@ class TrainConfig:
     fused_convbn: bool = False        # Pallas 1x1-conv+BN-stats kernels
     label_smooth: float = 0.0
     seed: int = 0
+    check_numerics: bool = False      # jax_debug_nans/infs (SURVEY §5: the
+                                      # NaiveEngine-style debug mode analog)
     # Parallelism
     num_devices: int = 0              # 0 = all local devices
     dp_mode: str = "jit"              # jit (GSPMD) | shard_map (explicit psum)
@@ -193,6 +196,7 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--lr-factor", type=float, default=None)
     p.add_argument("--warmup", action="store_true", default=None)
     p.add_argument("--warmup-epochs", type=int, default=None)
+    p.add_argument("--optimizer", choices=["sgd", "nag"], default=None)
     p.add_argument("--mom", type=float, default=None)
     p.add_argument("--wd", type=float, default=None)
     p.add_argument("--num-epochs", type=int, default=None)
@@ -204,6 +208,8 @@ def build_parser() -> argparse.ArgumentParser:
                    help="gradient checkpointing (reference: --memonger)")
     p.add_argument("--fused-convbn", action="store_true", default=None,
                    help="Pallas fused 1x1-conv+BN-stats kernels")
+    p.add_argument("--check-numerics", action="store_true", default=None,
+                   help="abort on NaN/Inf in any jitted computation")
     p.add_argument("--seed", type=int, default=None)
     # parallel
     p.add_argument("--num-devices", type=int, default=None,
@@ -239,6 +245,7 @@ def config_from_args(args: argparse.Namespace) -> Config:
     if args.lr_factor is not None: t["lr_factor"] = args.lr_factor
     if args.warmup: t["warmup"] = True
     if args.warmup_epochs is not None: t["warmup_epochs"] = args.warmup_epochs
+    if args.optimizer is not None: t["optimizer"] = args.optimizer
     if args.mom is not None: t["mom"] = args.mom
     if args.wd is not None: t["wd"] = args.wd
     if args.num_epochs is not None: t["num_epochs"] = args.num_epochs
@@ -248,6 +255,7 @@ def config_from_args(args: argparse.Namespace) -> Config:
     if args.dtype is not None: t["dtype"] = args.dtype
     if args.remat: t["remat"] = True
     if args.fused_convbn: t["fused_convbn"] = True
+    if args.check_numerics: t["check_numerics"] = True
     if args.seed is not None: t["seed"] = args.seed
     if args.num_devices is not None: t["num_devices"] = args.num_devices
     if args.dp_mode is not None: t["dp_mode"] = args.dp_mode

@@ -130,16 +130,21 @@ def synthetic_cifar(num_examples: int = 2048, num_classes: int = 10,
 
 
 def make_train_iter(cfg, num_parts: int = 1, part_index: int = 0) -> DataIter:
-    """Pipeline selector (ref:core/loader.py get_data_iter)."""
+    """Pipeline selector (ref:core/loader.py get_data_iter).
+
+    ``num_parts``/``part_index`` = process count/rank: each host's iterator
+    yields its LOCAL slice of the global batch (batch_size is GLOBAL).
+    """
     t, d = cfg.train, cfg.data
+    local_bs = t.batch_size // max(num_parts, 1)
     if d.pipeline == "synthetic":
         steps = max(d.num_examples // t.batch_size, 1)
-        return SyntheticIter(t.batch_size, d.image_shape, d.num_classes,
+        return SyntheticIter(local_bs, d.image_shape, d.num_classes,
                              steps_per_epoch=steps, seed=t.seed)
     if d.pipeline == "memory":
         images, labels = synthetic_cifar(
             d.num_examples, d.num_classes, d.image_shape, seed=t.seed)
-        return MemoryIter(images, labels, t.batch_size, shuffle=d.shuffle,
+        return MemoryIter(images, labels, local_bs, shuffle=d.shuffle,
                           seed=t.seed, num_parts=num_parts,
                           part_index=part_index)
     if d.pipeline == "record":
@@ -153,6 +158,7 @@ def make_val_iter(cfg, num_parts: int = 1,
                   part_index: int = 0) -> Optional[DataIter]:
     """Validation iterator (center-crop only path — ref:core/loader.py)."""
     t, d = cfg.train, cfg.data
+    local_bs = t.batch_size // max(num_parts, 1)
     if d.pipeline == "synthetic":
         return None
     if d.pipeline == "memory":
@@ -160,7 +166,7 @@ def make_val_iter(cfg, num_parts: int = 1,
         images, labels = synthetic_cifar(
             max(d.num_examples // 10, t.batch_size), d.num_classes,
             d.image_shape, seed=t.seed + 10_000)
-        return MemoryIter(images, labels, t.batch_size, shuffle=False,
+        return MemoryIter(images, labels, local_bs, shuffle=False,
                           seed=t.seed, num_parts=num_parts,
                           part_index=part_index, drop_last=False,
                           pad_last=True)

@@ -67,6 +67,72 @@ def get_lib() -> ctypes.CDLL:
     return _lib
 
 
+class PythonRecordLoader:
+    """Pure-Python fallback with the NativeRecordLoader interface.
+
+    PIL decode + NumPy bilinear canvas; used when the C++ build is
+    unavailable (and as an independent test double for the native path —
+    SURVEY.md §7.5)."""
+
+    def __init__(self, rec_path: str, idx_path: Optional[str],
+                 canvas_hw: Tuple[int, int], threads: int = 0,
+                 num_parts: int = 1, part_index: int = 0):
+        from resnet_tpu.data.recordio import RecordIOReader
+        self._reader = RecordIOReader(rec_path, idx_path)
+        if self._reader.offsets is None:
+            self._reader.scan_offsets()
+        self._offsets = self._reader.offsets[part_index::num_parts]
+        self.canvas_hw = canvas_hw
+        self.num_records = len(self._offsets)
+        self._order = np.arange(self.num_records)
+        self._cursor = 0
+
+    def begin_epoch(self, epoch: int, shuffle: bool, seed: int) -> None:
+        self._cursor = 0
+        self._order = np.arange(self.num_records)
+        if shuffle:
+            np.random.default_rng((seed, epoch)).shuffle(self._order)
+
+    def next_batch(self, batch_size: int):
+        import io as _io
+
+        from PIL import Image
+
+        from resnet_tpu.data.recordio import unpack_image_record
+        h, w = self.canvas_hw
+        todo = min(batch_size, self.num_records - self._cursor)
+        images = np.empty((todo, h, w, 3), np.uint8)
+        labels = np.empty((todo,), np.float32)
+        for i in range(todo):
+            off = self._offsets[self._order[self._cursor + i]]
+            rec = unpack_image_record(self._reader.read_at(off))
+            img = Image.open(_io.BytesIO(rec.image)).convert("RGB")
+            iw, ih = img.size
+            scale = max(h / ih, w / iw)
+            rw, rh = max(w, round(iw * scale)), max(h, round(ih * scale))
+            img = img.resize((rw, rh), Image.BILINEAR)
+            x0, y0 = (rw - w) // 2, (rh - h) // 2
+            images[i] = np.asarray(img)[y0:y0 + h, x0:x0 + w]
+            labels[i] = rec.label
+        self._cursor += todo
+        return images, labels
+
+    def close(self) -> None:
+        self._reader.close()
+
+
+def make_record_loader(rec_path: str, idx_path: Optional[str],
+                       canvas_hw: Tuple[int, int], threads: int = 4,
+                       num_parts: int = 1, part_index: int = 0):
+    """Native loader, falling back to pure Python if the build fails."""
+    try:
+        return NativeRecordLoader(rec_path, idx_path, canvas_hw, threads,
+                                  num_parts, part_index)
+    except NativeUnavailable:
+        return PythonRecordLoader(rec_path, idx_path, canvas_hw, threads,
+                                  num_parts, part_index)
+
+
 class NativeRecordLoader:
     """One .rec shard -> uint8 canvas batches, decoded by the C++ pool."""
 

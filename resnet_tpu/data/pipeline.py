@@ -47,12 +47,13 @@ class RecordIter(DataIter):
         self.train = train
         self.shuffle = d.shuffle and train
         self.seed = t.seed
-        self.batch_size = t.batch_size
+        # batch_size is GLOBAL; each host decodes its 1/num_parts slice
+        self.batch_size = t.batch_size // max(num_parts, 1)
         self.prefetch_buffer = max(1, d.prefetch_buffer)
         self.canvas_hw = canvas_size(d.image_shape[:2])
 
-        from resnet_tpu.data.native import NativeRecordLoader
-        self.loader = NativeRecordLoader(
+        from resnet_tpu.data.native import make_record_loader
+        self.loader = make_record_loader(
             rec, idx, self.canvas_hw, threads=d.preprocess_threads,
             num_parts=num_parts, part_index=part_index)
         n = self.loader.num_records

@@ -22,15 +22,26 @@ def prefetch_to_device(iterator: Iterator, size: int = 2,
     """Yield device-resident batches, keeping ``size`` in flight.
 
     With a mesh, batches land sharded along the data axis (the analog of the
-    reference's batch slicing across GPUs, but as one logical array).
+    reference's batch slicing across GPUs, but as one logical array). In
+    multi-host runs each process feeds its LOCAL shard (the iterator is
+    already num_parts-sharded) and the batch is assembled as a global array
+    — the jax equivalent of every worker reading its ImageRecordIter part.
     """
     queue = collections.deque()
     sharding = batch_sharded(mesh) if mesh is not None else None
+    multihost = jax.process_count() > 1
 
     def put(batch):
-        if sharding is not None:
-            return jax.device_put(batch, sharding)
-        return jax.device_put(batch)
+        if sharding is None:
+            return jax.device_put(batch)
+        if multihost:
+            nproc = jax.process_count()
+            return jax.tree.map(
+                lambda arr: jax.make_array_from_process_local_data(
+                    sharding, arr,
+                    global_shape=(arr.shape[0] * nproc,) + arr.shape[1:]),
+                batch)
+        return jax.device_put(batch, sharding)
 
     for batch in iterator:
         queue.append(put(batch))

@@ -56,12 +56,23 @@ class Solver:
     def __init__(self, cfg: Config, log_file: Optional[str] = None):
         self.cfg = cfg
         self.log = setup_logging(log_file)
+        if jax.process_index() != 0:
+            # head-node-only logging (ref: dist workers log on rank 0)
+            import logging as _logging
+            self.log.setLevel(_logging.WARNING)
         t = cfg.train
         n_dev = t.num_devices or len(jax.devices())
         self.mesh = make_mesh(n_dev) if n_dev > 1 else None
         if t.batch_size % max(n_dev, 1) != 0:
             raise ValueError(
                 f"batch_size {t.batch_size} not divisible by {n_dev} devices")
+        if t.sync_bn and t.dp_mode == "shard_map":
+            # GSPMD jit mode computes BN over the GLOBAL sharded batch
+            # (sync-BN semantics for free); the shard_map path is the
+            # MXNet-parity per-replica BN.
+            raise ValueError(
+                "sync_bn requires --dp-mode jit (global-batch BN); "
+                "--dp-mode shard_map is per-replica BN like MXNet per-GPU")
         aug_fn, eval_fn = _augment_fns(cfg)
         self.train_step = make_train_step(
             self.mesh, t.dp_mode, t.label_smooth, augment_fn=aug_fn)
@@ -142,9 +153,16 @@ class Solver:
         t = self.cfg.train
         state = self.init_state()
         num_epochs = num_epochs or t.num_epochs
+        from resnet_tpu.utils.profiler import maybe_trace
         for epoch in range(self.begin_epoch, num_epochs):
             tic = time.perf_counter()
-            state = self.train_epoch(state, train_iter, epoch)
+            if epoch == self.begin_epoch:
+                # mx.profiler AUTOSTART analog: RESNET_TPU_PROFILE=<logdir>
+                # traces the first epoch to TensorBoard/Perfetto
+                with maybe_trace():
+                    state = self.train_epoch(state, train_iter, epoch)
+            else:
+                state = self.train_epoch(state, train_iter, epoch)
             self.log.info("Epoch[%d] Time cost=%.3f", epoch,
                           time.perf_counter() - tic)
             if eval_iter is not None:

@@ -50,7 +50,8 @@ def create_train_state(cfg: Config, rng=None) -> TrainState:
                            train=False)
     schedule = schedule_from_config(cfg)
     tx = mxnet_sgd(schedule, momentum=cfg.train.mom,
-                   weight_decay=cfg.train.wd)
+                   weight_decay=cfg.train.wd,
+                   nesterov=cfg.train.optimizer == "nag")
     return TrainState(
         step=jnp.zeros([], jnp.int32),
         params=variables["params"],

@@ -139,6 +139,27 @@ class TestNativeLoader:
         assert len(i1) == 10 and len(i2) == 6 and len(i3) == 0
 
 
+class TestPythonLoaderParity:
+    def test_matches_native(self, tiny_imageset):
+        """The pure-Python fallback must agree with the C++ loader
+        (independent implementations of decode+canvas — SURVEY.md §7.5)."""
+        from resnet_tpu.data.native import (NativeRecordLoader,
+                                            PythonRecordLoader)
+        kw = dict(canvas_hw=(24, 24), threads=1)
+        a = NativeRecordLoader(tiny_imageset["prefix"] + ".rec",
+                               tiny_imageset["prefix"] + ".idx", **kw)
+        b = PythonRecordLoader(tiny_imageset["prefix"] + ".rec",
+                               tiny_imageset["prefix"] + ".idx", **kw)
+        a.begin_epoch(0, False, 0)
+        b.begin_epoch(0, False, 0)
+        ia, la = a.next_batch(16)
+        ib, lb = b.next_batch(16)
+        assert la.tolist() == lb.tolist()
+        # decoders/resizers differ in rounding; images must be close
+        diff = np.abs(ia.astype(np.int32) - ib.astype(np.int32))
+        assert diff.mean() < 3.0 and diff.max() <= 60
+
+
 class TestRecordIter:
     def test_end_to_end(self, tiny_imageset):
         from resnet_tpu.config import Config

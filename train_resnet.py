@@ -24,6 +24,10 @@ def main(argv=None):
     from resnet_tpu.train.solver import Solver
 
     cfg = parse_config(argv)
+    if cfg.train.check_numerics:
+        import jax
+        jax.config.update("jax_debug_nans", True)
+        jax.config.update("jax_debug_infs", True)
     maybe_init_distributed()
     num_parts, part_index = proc_info()
 
