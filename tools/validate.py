@@ -9,11 +9,13 @@ tool: load a checkpoint, run the eval pipeline, print the metric trio.
 
 from __future__ import annotations
 
+import os
 import sys
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 
 def main(argv=None):
-    sys.path.insert(0, ".")
     from resnet_tpu.config import parse_config
     from resnet_tpu.data.loader import make_val_iter
     from resnet_tpu.parallel.dist import maybe_init_distributed, proc_info
