@@ -106,7 +106,8 @@ class Solver:
         window = []   # device-resident metric dicts; synced only at log time
         nbatch = 0
         for batch in prefetch_to_device(
-                train_iter.epoch_iter(epoch), size=2, mesh=self.mesh):
+                train_iter.epoch_iter(epoch),
+                size=self.cfg.data.prefetch_buffer, mesh=self.mesh):
             state, metrics = self.train_step(state, batch)
             nbatch += 1
             window.append(metrics)
@@ -152,6 +153,7 @@ class Solver:
         """The training entry (ref: Module.fit / Solver.fit)."""
         t = self.cfg.train
         state = self.init_state()
+        train_iter.load_state_dict(self.iter_state)  # replay data stream
         num_epochs = num_epochs or t.num_epochs
         from resnet_tpu.utils.profiler import maybe_trace
         for epoch in range(self.begin_epoch, num_epochs):
