@@ -37,6 +37,7 @@ class DataConfig:
     min_random_area: float = 0.08     # random-resized-crop area range
     max_random_area: float = 1.0
     max_aspect_ratio: float = 4.0 / 3.0   # aspect sampled in [3/4, 4/3]
+    max_rotate_angle: float = 0.0     # degrees, uniform in [-a, a]
     random_h: int = 0                 # HSL jitter ranges (36/50/50 in some cfgs)
     random_s: int = 0
     random_l: int = 0

@@ -216,22 +216,59 @@ def _rgb_to_hsl_adjust(images: jnp.ndarray, rng, random_h: float,
     return jnp.clip(out, 0.0, 255.0)
 
 
+def rotate_images(images: jnp.ndarray, rng, max_angle_deg: float):
+    """Per-example rotation by U[-a, a] degrees about the image center
+    (ref: max_rotate_angle). Bilinear gathers via map_coordinates —
+    rotation is not separable, so the matmul trick doesn't apply; this
+    path only runs when the knob is enabled (MXNet default: 0)."""
+    from jax.scipy.ndimage import map_coordinates
+    n, h, w, c = images.shape
+    angles = jax.random.uniform(rng, (n,), minval=-max_angle_deg,
+                                maxval=max_angle_deg) * (jnp.pi / 180.0)
+
+    yy, xx = jnp.meshgrid(jnp.arange(h, dtype=jnp.float32),
+                          jnp.arange(w, dtype=jnp.float32), indexing="ij")
+    cy, cx = (h - 1) / 2.0, (w - 1) / 2.0
+
+    def one(img, a):
+        cos, sin = jnp.cos(a), jnp.sin(a)
+        sy = cy + (yy - cy) * cos - (xx - cx) * sin
+        sx = cx + (yy - cy) * sin + (xx - cx) * cos
+        def chan(ch):
+            return map_coordinates(ch, [sy, sx], order=1, mode="constant")
+        return jnp.stack([chan(img[..., k]) for k in range(c)], axis=-1)
+
+    return jax.vmap(one)(images, angles)
+
+
 def augment_imagenet(canvas_u8: jnp.ndarray, rng, cfg: DataConfig,
                      out_hw: Tuple[int, int] = (224, 224),
                      dtype=jnp.float32) -> jnp.ndarray:
     """(N,Hc,Wc,3) uint8 host canvas -> augmented (N,224,224,3) dtype.
 
-    Full train-time pipeline: RRC -> mirror -> HSL jitter -> normalize.
+    Full train-time pipeline: [rotate] -> RRC (or center crop when
+    rand_crop=False) -> mirror -> HSL jitter -> normalize.
     """
     n, hc, wc, _ = canvas_u8.shape
-    r_box, r_mir, r_hsl = jax.random.split(rng, 3)
-    boxes = sample_crop_boxes(
-        r_box, n, hc, wc, cfg.min_random_area, cfg.max_random_area,
-        cfg.max_aspect_ratio)
+    r_box, r_mir, r_hsl, r_rot = jax.random.split(rng, 4)
+    src = canvas_u8
+    if cfg.max_rotate_angle > 0:
+        src = rotate_images(src.astype(jnp.float32), r_rot,
+                            cfg.max_rotate_angle)
+    if cfg.rand_crop:
+        boxes = sample_crop_boxes(
+            r_box, n, hc, wc, cfg.min_random_area, cfg.max_random_area,
+            cfg.max_aspect_ratio)
+    else:
+        # center crop (ref: rand_crop=False path of the default augmenter)
+        oh, ow = out_hw
+        boxes = (jnp.full((n,), (hc - oh) / 2.0),
+                 jnp.full((n,), (wc - ow) / 2.0),
+                 jnp.full((n,), float(oh)), jnp.full((n,), float(ow)))
     # mirror folds into the horizontal resample matrix — zero extra cost
     flip = (jax.random.bernoulli(r_mir, 0.5, (n,))
             if cfg.rand_mirror else None)
-    x = crop_resize_bilinear(canvas_u8, boxes, out_hw, jnp.float32,
+    x = crop_resize_bilinear(src, boxes, out_hw, jnp.float32,
                              flip=flip)
     if cfg.random_h or cfg.random_s or cfg.random_l:
         x = _rgb_to_hsl_adjust(x, r_hsl, cfg.random_h, cfg.random_s,

@@ -127,6 +127,11 @@ def augment_imagenet_pallas(canvas_u8: jnp.ndarray, rng, cfg: DataConfig,
     HSL jitter, when enabled, is applied by the XLA path on the cropped
     output (it is elementwise and XLA fuses it into the following cast).
     """
+    if cfg.max_rotate_angle > 0 or not cfg.rand_crop:
+        # rotation / center-crop variants only exist on the XLA path
+        from resnet_tpu.ops.augment import augment_imagenet
+        return augment_imagenet(canvas_u8, rng, cfg, out_hw, dtype)
+
     n, hc, wc, _ = canvas_u8.shape
     r_box, r_mir, r_hsl = jax.random.split(rng, 3)
     boxes = sample_crop_boxes(

@@ -115,6 +115,34 @@ class TestHSL:
         assert not np.allclose(out, imgs)  # jitter actually does something
 
 
+class TestRotation:
+    def test_matches_scipy(self):
+        import scipy.ndimage as ndi
+        rng = np.random.default_rng(5)
+        img = rng.integers(0, 256, (1, 16, 16, 3)).astype(np.float32)
+        # reach into the implementation's own angle draw for the oracle
+        key = jax.random.key(11)
+        angle = float(jax.random.uniform(key, (1,), minval=-30.0,
+                                         maxval=30.0)[0])
+        got = np.asarray(augment.rotate_images(jnp.asarray(img), key, 30.0))
+        # scipy rotates counterclockwise w/ the same center convention;
+        # our sampling matrix maps output->source with +angle, which is a
+        # clockwise image rotation == scipy rotate by -angle
+        want = np.stack([
+            ndi.rotate(img[0, ..., c], -angle, reshape=False, order=1,
+                       mode="constant") for c in range(3)], axis=-1)
+        # interiors match; borders differ by interpolation policy
+        np.testing.assert_allclose(got[0, 4:12, 4:12], want[4:12, 4:12],
+                                   atol=2.0)
+
+    def test_zero_angle_identity(self):
+        rng = np.random.default_rng(6)
+        img = rng.integers(0, 256, (2, 8, 8, 3)).astype(np.float32)
+        got = augment.rotate_images(jnp.asarray(img), jax.random.key(0),
+                                    0.0)
+        np.testing.assert_allclose(np.asarray(got), img, atol=1e-3)
+
+
 class TestPipelines:
     def test_cifar_augment_shapes_and_range(self):
         cfg = DataConfig(mean_rgb=(125.3, 123.0, 113.9),
@@ -140,6 +168,24 @@ class TestPipelines:
         out = augment.eval_center_crop(jnp.asarray(imgs), cfg, (4, 4))
         np.testing.assert_allclose(
             np.asarray(out[0]), imgs[0, 2:6, 2:6].astype(np.float32))
+
+    def test_rand_crop_false_is_center_crop(self):
+        cfg = DataConfig(rand_crop=False, rand_mirror=False,
+                         mean_rgb=(0, 0, 0), std_rgb=(1, 1, 1))
+        imgs = np.arange(2 * 8 * 8 * 3, dtype=np.uint8).reshape(2, 8, 8, 3)
+        out = augment.augment_imagenet(jnp.asarray(imgs), jax.random.key(0),
+                                       cfg, (4, 4))
+        np.testing.assert_allclose(
+            np.asarray(out[0]), imgs[0, 2:6, 2:6].astype(np.float32),
+            atol=1e-2)
+
+    def test_rotation_in_pipeline(self):
+        cfg = DataConfig(max_rotate_angle=15.0)
+        imgs = np.random.default_rng(1).integers(
+            0, 256, (2, 48, 48, 3), np.uint8)
+        out = augment.augment_imagenet(jnp.asarray(imgs), jax.random.key(2),
+                                       cfg, (32, 32))
+        assert out.shape == (2, 32, 32, 3)
 
     def test_determinism(self):
         cfg = DataConfig()
