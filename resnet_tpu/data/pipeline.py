@@ -62,7 +62,6 @@ class RecordIter(DataIter):
         else:
             self.steps_per_epoch = (n + self.batch_size - 1) \
                 // self.batch_size
-        self._resume_skip = 0
 
     # -- iteration ---------------------------------------------------------
 

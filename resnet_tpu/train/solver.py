@@ -16,7 +16,7 @@ from typing import Optional
 import jax
 
 from resnet_tpu.config import Config
-from resnet_tpu.data.loader import DataIter, make_train_iter
+from resnet_tpu.data.loader import DataIter
 from resnet_tpu.data.prefetch import prefetch_to_device
 from resnet_tpu.ops import augment
 from resnet_tpu.ops.metrics import MetricAccumulator

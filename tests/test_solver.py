@@ -137,6 +137,31 @@ class TestCheckpoint:
         assert solver2.begin_epoch == 1
 
 
+class TestCheckpointRetention:
+    def test_max_to_keep(self, tmp_path):
+        cfg = tiny_cfg(str(tmp_path))
+        state = create_train_state(cfg)
+        for ep in [1, 2, 3]:
+            ckpt.save_checkpoint(cfg.train.model_prefix, ep, state,
+                                 max_to_keep=2)
+        assert ckpt.latest_epoch(cfg.train.model_prefix) == 3
+        restored, _ = ckpt.load_checkpoint(cfg.train.model_prefix, 2, state)
+        assert int(restored.step) == 0
+        with pytest.raises(Exception):
+            ckpt.load_checkpoint(cfg.train.model_prefix, 1, state)
+
+
+class TestSpeedometerAutoReset:
+    def test_reset_fn_called(self):
+        from resnet_tpu.train.callback import BatchEndParam, Speedometer
+        calls = []
+        sp = Speedometer(batch_size=8, frequent=2, auto_reset=True)
+        for nb in range(1, 5):
+            sp(BatchEndParam(epoch=0, nbatch=nb, metrics={"accuracy": 1.0}),
+               reset_fn=lambda: calls.append(nb))
+        assert calls == [2, 4]
+
+
 class TestSpeedometerFormat:
     def test_log_line_shape(self, caplog):
         import logging
