@@ -61,6 +61,49 @@ CIFAR_FILTERS_BASIC = (16, 16, 32, 64)
 CIFAR_FILTERS_BOTTLENECK = (16, 64, 128, 256)
 
 
+class _Conv1x1Dot(nn.Module):
+    """1x1 conv lowered as a reshaped matmul (XLA `dot`).
+
+    XLA:TPU fuses elementwise producers/consumers and column reductions
+    around `dot` ops more aggressively than around `convolution` ops
+    (measured: an XLA normalize+relu+dot+stats chain hits the same
+    time as a hand-fused Pallas kernel — PERF_NOTES.md). Param tree is
+    identical to nn.Conv (kernel (1,1,Cin,Cout)), so checkpoints
+    interchange. Strided 1x1 == spatial subsample + matmul.
+    """
+    features: int
+    strides: tuple = (1, 1)
+    dtype: Any = jnp.float32
+
+    @nn.compact
+    def __call__(self, x):
+        cin = x.shape[-1]
+        kernel = self.param("kernel", conv_init,
+                            (1, 1, cin, self.features))
+        if self.strides != (1, 1):
+            x = x[:, ::self.strides[0], ::self.strides[1], :]
+        n, h, w, _ = x.shape
+        # output in compute dtype (the MXU accumulates f32 internally),
+        # exactly like nn.Conv(dtype=...) — a preferred f32 output here
+        # materializes f32 activations and OOMs at batch 256
+        y = jax.lax.dot_general(
+            x.reshape(n * h * w, cin).astype(self.dtype),
+            kernel.reshape(cin, self.features).astype(self.dtype),
+            dimension_numbers=(((1,), (0,)), ((), ())))
+        return y.reshape(n, h, w, self.features)
+
+
+def _conv_or_dot(features, kernel_size, strides=(1, 1), dtype=jnp.float32,
+                 name=None, padding="SAME", feature_group_count=1):
+    """nn.Conv drop-in that routes unit-kernel convs through _Conv1x1Dot."""
+    if tuple(kernel_size) == (1, 1) and feature_group_count == 1:
+        return _Conv1x1Dot(features=features, strides=tuple(strides),
+                           dtype=dtype, name=name)
+    return nn.Conv(features, kernel_size, strides, padding=padding,
+                   feature_group_count=feature_group_count, use_bias=False,
+                   kernel_init=conv_init, dtype=dtype, name=name)
+
+
 def _norm(mom: float, eps: float, dtype, name: str, use_scale: bool = True):
     """BatchNorm matching MXNet semantics: momentum 0.9 EMA on running stats.
 
@@ -95,11 +138,14 @@ class ResidualUnit(nn.Module):
     dtype: Any = jnp.float32
     fused: bool = False           # Pallas conv1x1+BN-stats path (v1 only)
     pallas_interpret: bool = False
+    conv1x1_as_dot: bool = False  # lower 1x1 convs as reshaped matmuls
 
     @nn.compact
     def __call__(self, x, train: bool):
         conv = partial(nn.Conv, use_bias=False, kernel_init=conv_init,
                        dtype=self.dtype)
+        if self.conv1x1_as_dot:
+            conv = partial(_conv_or_dot, dtype=self.dtype)
         bn = lambda name, scale=True: _norm(
             self.bn_mom, self.bn_eps, self.dtype, name, scale)(
         )
@@ -199,6 +245,7 @@ class ResNet(nn.Module):
     remat: bool = False
     fused: bool = False           # Pallas conv1x1+BN-stats path (v1 only)
     pallas_interpret: bool = False
+    conv1x1_as_dot: bool = False  # lower 1x1 convs as reshaped matmuls
 
     @nn.compact
     def __call__(self, x, train: bool = False):
@@ -259,6 +306,7 @@ class ResNet(nn.Module):
                     dtype=self.dtype,
                     fused=self.fused and self.version == 1,
                     pallas_interpret=self.pallas_interpret,
+                    conv1x1_as_dot=self.conv1x1_as_dot,
                     name=f"stage{stage + 1}_unit{unit + 1}",
                 )(x, train)
 

@@ -140,6 +140,23 @@ def test_remat_same_params_and_output():
                                rtol=1e-5, atol=1e-5)
 
 
+def test_conv1x1_as_dot_equivalent():
+    """The dot lowering of 1x1 convs must be tree- and numerics-equivalent
+    to nn.Conv (same checkpoints, same math)."""
+    import dataclasses
+    cfg = Config()
+    cfg.model.depth = 50
+    cfg.data.num_classes = 10
+    model, variables, x = init_model(cfg, hw=(32, 32, 3))
+    dot_model = dataclasses.replace(model, conv1x1_as_dot=True)
+    v2 = dot_model.init(jax.random.key(0), x, train=False)
+    assert jax.tree.structure(variables) == jax.tree.structure(v2)
+    a = model.apply(variables, x, train=False)
+    b = dot_model.apply(variables, x, train=False)
+    np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                               rtol=1e-3, atol=2e-3)
+
+
 def test_unsupported_depth_raises():
     cfg = Config()
     cfg.model.depth = 77
