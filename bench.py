@@ -35,6 +35,8 @@ def main():
     p = argparse.ArgumentParser()
     p.add_argument("--quick", action="store_true",
                    help="tiny shapes for CPU smoke-testing")
+    p.add_argument("--network", choices=["resnet", "resnext"],
+                   default="resnet")
     p.add_argument("--depth", type=int, default=50)
     p.add_argument("--batch-size", type=int, default=0,
                    help="0 = auto (256 per chip)")
@@ -59,6 +61,7 @@ def main():
     from resnet_tpu.train.steps import make_train_step
 
     cfg = Config()
+    cfg.model.network = args.network
     cfg.model.depth = args.depth
     cfg.train.dtype = args.dtype
     if args.quick:
@@ -115,7 +118,7 @@ def main():
     imgs_per_sec = args.steps * bs / elapsed
     per_chip = imgs_per_sec / max(n_chips, 1)
     baseline = 3000.0  # BASELINE.md: img/s/chip target, v5e, ResNet-50 bf16
-    name = f"resnet{cfg.model.depth}_train_throughput"
+    name = f"{cfg.model.network}{cfg.model.depth}_train_throughput"
     if args.quick:
         name += "_quick"
     if args.no_augment:

@@ -201,6 +201,7 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--mom", type=float, default=None)
     p.add_argument("--wd", type=float, default=None)
     p.add_argument("--num-epochs", type=int, default=None)
+    p.add_argument("--label-smooth", type=float, default=None)
     p.add_argument("--frequent", type=int, default=None)
     p.add_argument("--model-prefix", default=None)
     p.add_argument("--load-epoch", type=int, default=None)
@@ -250,6 +251,7 @@ def config_from_args(args: argparse.Namespace) -> Config:
     if args.mom is not None: t["mom"] = args.mom
     if args.wd is not None: t["wd"] = args.wd
     if args.num_epochs is not None: t["num_epochs"] = args.num_epochs
+    if args.label_smooth is not None: t["label_smooth"] = args.label_smooth
     if args.frequent is not None: t["frequent"] = args.frequent
     if args.model_prefix is not None: t["model_prefix"] = args.model_prefix
     if args.load_epoch is not None: t["load_epoch"] = args.load_epoch
