@@ -82,6 +82,7 @@ class TrainConfig:
     frequent: int = 50                # Speedometer log interval (batches)
     model_prefix: str = "checkpoints/resnet"
     load_epoch: Optional[int] = None
+    auto_resume: bool = False         # resume from the latest checkpoint
     begin_epoch: int = 0
     dtype: str = "float32"            # float32 | bfloat16
     remat: bool = False               # memonger equivalent (jax.checkpoint)
@@ -205,6 +206,8 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--frequent", type=int, default=None)
     p.add_argument("--model-prefix", default=None)
     p.add_argument("--load-epoch", type=int, default=None)
+    p.add_argument("--auto-resume", action="store_true", default=None,
+                   help="resume from the latest checkpoint if present")
     p.add_argument("--dtype", choices=["float32", "bfloat16"], default=None)
     p.add_argument("--remat", action="store_true", default=None,
                    help="gradient checkpointing (reference: --memonger)")
@@ -255,6 +258,7 @@ def config_from_args(args: argparse.Namespace) -> Config:
     if args.frequent is not None: t["frequent"] = args.frequent
     if args.model_prefix is not None: t["model_prefix"] = args.model_prefix
     if args.load_epoch is not None: t["load_epoch"] = args.load_epoch
+    if args.auto_resume: t["auto_resume"] = True
     if args.dtype is not None: t["dtype"] = args.dtype
     if args.remat: t["remat"] = True
     if args.fused_convbn: t["fused_convbn"] = True

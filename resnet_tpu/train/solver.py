@@ -80,20 +80,35 @@ class Solver:
             self.mesh, t.dp_mode, preprocess_fn=eval_fn)
         self.schedule = schedule_from_config(cfg)
         self.speedometer = Speedometer(t.batch_size, t.frequent)
+        from resnet_tpu.utils.metric_writer import MetricWriter
+        self.metric_writer = MetricWriter(
+            f"{t.model_prefix}.metrics.jsonl"
+            if t.model_prefix and jax.process_index() == 0 else None)
 
     # -- state ------------------------------------------------------------
 
     def init_state(self) -> TrainState:
-        """Init params, or resume from --load-epoch (ref:train_resnet.py)."""
+        """Init params, or resume from --load-epoch (ref:train_resnet.py).
+
+        ``--auto-resume`` extends the reference's manual restart-from-
+        checkpoint recovery story (SURVEY.md §5 failure recovery): the
+        relaunched job finds the latest epoch itself.
+        """
+        t = self.cfg.train
         state = create_train_state(self.cfg)
-        self.begin_epoch = self.cfg.train.begin_epoch
+        self.begin_epoch = t.begin_epoch
         self.iter_state = {}
-        if self.cfg.train.load_epoch is not None:
+        load_epoch = t.load_epoch
+        if load_epoch is None and t.auto_resume and t.model_prefix:
+            load_epoch = ckpt.latest_epoch(t.model_prefix)
+            if load_epoch is not None:
+                self.log.info("auto-resume found epoch %d", load_epoch)
+        if load_epoch is not None:
             state, self.iter_state = ckpt.load_checkpoint(
-                self.cfg.train.model_prefix, self.cfg.train.load_epoch, state)
-            self.begin_epoch = self.cfg.train.load_epoch
+                t.model_prefix, load_epoch, state)
+            self.begin_epoch = load_epoch
             self.log.info("Resumed from epoch %d (step %d)",
-                          self.cfg.train.load_epoch, int(state.step))
+                          load_epoch, int(state.step))
         return state
 
     # -- loops ------------------------------------------------------------
@@ -123,6 +138,9 @@ class Solver:
                 self.speedometer(BatchEndParam(
                     epoch=epoch, nbatch=nbatch, metrics=acc.get(), lr=lr),
                     reset_fn=acc.reset)
+                self.metric_writer.write(
+                    "train", epoch, global_step, acc.get(), lr=lr,
+                    samples_per_sec=self.speedometer.last_speed)
         for m in jax.device_get(window):
             acc.update(m)
         m = acc.get()
@@ -139,6 +157,7 @@ class Solver:
                 eval_iter.epoch_iter(0), size=2, mesh=self.mesh):
             acc.update(jax.device_get(self.eval_step(state, batch)))
         m = acc.get()
+        self.metric_writer.write("val", epoch, -1, m)
         self.log.info("Epoch[%d] Validation-accuracy=%.6f", epoch,
                       m["accuracy"])
         self.log.info("Epoch[%d] Validation-top_k_accuracy_5=%.6f", epoch,

@@ -137,6 +137,60 @@ class TestCheckpoint:
         assert solver2.begin_epoch == 1
 
 
+class TestReproducibility:
+    def test_same_seed_bitwise_identical(self):
+        """Two fits with the same seed produce bitwise-identical params —
+        the determinism guarantee the reference can't make (C++ thread-
+        local aug RNGs)."""
+        results = []
+        for _ in range(2):
+            cfg = tiny_cfg()
+            cfg.train.num_epochs = 2
+            solver = Solver(cfg)
+            images, labels = synthetic_cifar(128, 10, (16, 16, 3), seed=3)
+            it = MemoryIter(images, labels, 32, seed=0)
+            state = solver.fit(it, None, num_epochs=2)
+            results.append(jax.tree.leaves(state.params))
+        for a, b in zip(*results):
+            np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+
+
+class TestAutoResume:
+    def test_picks_latest(self, tmp_path):
+        cfg = tiny_cfg(str(tmp_path))
+        state = create_train_state(cfg)
+        ckpt.save_checkpoint(cfg.train.model_prefix, 5, state)
+        cfg2 = tiny_cfg(str(tmp_path))
+        cfg2.train.auto_resume = True
+        solver = Solver(cfg2)
+        solver.init_state()
+        assert solver.begin_epoch == 5
+
+    def test_no_checkpoint_starts_fresh(self, tmp_path):
+        cfg = tiny_cfg(str(tmp_path / "empty"))
+        cfg.train.auto_resume = True
+        solver = Solver(cfg)
+        solver.init_state()
+        assert solver.begin_epoch == 0
+
+
+class TestMetricWriter:
+    def test_jsonl_written(self, tmp_path):
+        import json
+        cfg = tiny_cfg(str(tmp_path))
+        cfg.train.num_epochs = 1
+        cfg.train.frequent = 2
+        solver = Solver(cfg)
+        images, labels = synthetic_cifar(128, 10, (16, 16, 3), seed=0)
+        it = MemoryIter(images, labels, 32, seed=0)
+        solver.fit(it, it, num_epochs=1)
+        lines = [json.loads(ln) for ln in
+                 open(cfg.train.model_prefix + ".metrics.jsonl")]
+        splits = {ln["split"] for ln in lines}
+        assert "train" in splits and "val" in splits
+        assert all("accuracy" in ln for ln in lines)
+
+
 class TestCheckpointRetention:
     def test_max_to_keep(self, tmp_path):
         cfg = tiny_cfg(str(tmp_path))
