@@ -10,7 +10,7 @@ no thread is needed — the queue depth alone provides the overlap.
 from __future__ import annotations
 
 import collections
-from typing import Iterator, Optional
+from typing import Iterator
 
 import jax
 

@@ -31,7 +31,7 @@ reference's ``Xavier(rnd_type='gaussian', factor_type='in', magnitude=2)``.
 from __future__ import annotations
 
 from functools import partial
-from typing import Any, Callable, Optional, Sequence, Tuple
+from typing import Any, Optional, Sequence, Tuple
 
 import flax.linen as nn
 import jax

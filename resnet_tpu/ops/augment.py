@@ -27,8 +27,7 @@ deterministic and replayable, unlike the reference's C++ thread-local RNGs.
 
 from __future__ import annotations
 
-from functools import partial
-from typing import Tuple
+from typing import Optional, Tuple
 
 import jax
 import jax.numpy as jnp

@@ -18,7 +18,6 @@ import os
 from typing import Optional, Tuple
 
 import jax
-import numpy as np
 import orbax.checkpoint as ocp
 
 from resnet_tpu.train.state import TrainState

@@ -28,8 +28,7 @@ from functools import partial
 from typing import Callable, Optional
 
 import jax
-import jax.numpy as jnp
-from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+from jax.sharding import Mesh, PartitionSpec as P
 
 from resnet_tpu.ops.metrics import cross_entropy_loss, metric_sums
 from resnet_tpu.parallel.mesh import DATA_AXIS, batch_sharded, replicated
