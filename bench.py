@@ -78,8 +78,13 @@ def main():
     dtype = jnp.bfloat16 if args.dtype == "bfloat16" else jnp.float32
     aug_fn = None
     if not args.no_augment:
-        aug_fn = lambda imgs, rng: augment.augment_imagenet(
-            imgs, rng, cfg.data, cfg.data.image_shape[:2], dtype)
+        if jax.default_backend() == "tpu":
+            from resnet_tpu.ops.augment_pallas import augment_imagenet_pallas
+            aug_fn = lambda imgs, rng: augment_imagenet_pallas(
+                imgs, rng, cfg.data, cfg.data.image_shape[:2], dtype)
+        else:
+            aug_fn = lambda imgs, rng: augment.augment_imagenet(
+                imgs, rng, cfg.data, cfg.data.image_shape[:2], dtype)
 
     state = create_train_state(cfg)
     step_fn = make_train_step(mesh=None, augment_fn=aug_fn)

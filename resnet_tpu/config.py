@@ -48,6 +48,9 @@ class DataConfig:
     shuffle: bool = True
     # Pipeline selection: 'synthetic' | 'memory' | 'record'
     pipeline: str = "record"
+    # Augmentation backend: 'auto' (Pallas on TPU when supported) |
+    # 'xla' | 'pallas'
+    augment_impl: str = "auto"
 
 
 @dataclass

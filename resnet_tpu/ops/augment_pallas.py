@@ -38,19 +38,26 @@ from resnet_tpu.ops.augment import sample_crop_boxes
 
 def _aug_kernel(box_ref, img_ref, out_ref, *, src_hw, out_hw, mean, inv_std,
                 out_dtype):
+    # box_ref is a scalar-prefetch (N, 8) f32 ref in SMEM — indexed by the
+    # grid position (Mosaic forbids small SMEM blocks, prefetch is the
+    # supported per-program-scalar mechanism)
     sh, sw = src_hw
     oh, ow = out_hw
-    y0 = box_ref[0, 0]
-    x0 = box_ref[0, 1]
-    ch = box_ref[0, 2]
-    cw = box_ref[0, 3]
-    flip = box_ref[0, 4]
+    i = pl.program_id(0)
+    y0 = box_ref[i, 0]
+    x0 = box_ref[i, 1]
+    ch = box_ref[i, 2]
+    cw = box_ref[i, 3]
+    flip = box_ref[i, 4]
 
-    img = img_ref[0].astype(jnp.float32)                    # (sh, sw*3)
+    # Mosaic has no direct uint8->f32 cast; go through int32
+    img = img_ref[0].astype(jnp.int32).astype(jnp.float32)  # (sh, sw*3)
 
-    # vertical resample matrix Wy (oh, sh)
-    i_y = jax.lax.broadcasted_iota(jnp.float32, (oh, sh), 0)
-    j_y = jax.lax.broadcasted_iota(jnp.float32, (oh, sh), 1)
+    # vertical resample matrix Wy (oh, sh); Mosaic iota is integer-only
+    i_y = jax.lax.broadcasted_iota(jnp.int32, (oh, sh), 0) \
+        .astype(jnp.float32)
+    j_y = jax.lax.broadcasted_iota(jnp.int32, (oh, sh), 1) \
+        .astype(jnp.float32)
     src_y = jnp.clip(y0 + (i_y + 0.5) * (ch / oh) - 0.5, 0.0, sh - 1.0)
     wy = jnp.maximum(0.0, 1.0 - jnp.abs(src_y - j_y))       # (oh, sh)
 
@@ -100,17 +107,17 @@ def fused_crop_mirror_normalize(
 
     kernel = partial(_aug_kernel, src_hw=(sh, sw), out_hw=(oh, ow),
                      mean=mean, inv_std=inv_std, out_dtype=dtype)
-    out = pl.pallas_call(
-        kernel,
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=1,
         grid=(n,),
         in_specs=[
-            pl.BlockSpec((1, 8), lambda i: (i, 0),
-                         memory_space=pltpu.SMEM),
-            pl.BlockSpec((1, sh, sw * 3), lambda i: (i, 0, 0),
-                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, sh, sw * 3), lambda i, box: (i, 0, 0)),
         ],
-        out_specs=pl.BlockSpec((1, oh, ow * 3), lambda i: (i, 0, 0),
-                               memory_space=pltpu.VMEM),
+        out_specs=pl.BlockSpec((1, oh, ow * 3), lambda i, box: (i, 0, 0)),
+    )
+    out = pl.pallas_call(
+        kernel,
+        grid_spec=grid_spec,
         out_shape=jax.ShapeDtypeStruct((n, oh, ow * 3), dtype),
         interpret=interpret,
     )(box_rows, img2d)

@@ -41,8 +41,20 @@ def _augment_fns(cfg: Config):
             imgs, d.mean_rgb, d.std_rgb, dtype)
     else:
         out_hw = d.image_shape[:2]
-        train_fn = lambda imgs, rng: augment.augment_imagenet(
-            imgs, rng, d, out_hw, dtype)
+        impl = d.augment_impl
+        if impl == "auto":
+            impl = ("pallas" if jax.default_backend() == "tpu"
+                    else "xla")
+        if impl == "pallas":
+            # measured bit-identical to the XLA path and ~10% faster on
+            # v5e (PERF_NOTES.md); falls back internally for the
+            # rotation / center-crop variants
+            from resnet_tpu.ops.augment_pallas import augment_imagenet_pallas
+            train_fn = lambda imgs, rng: augment_imagenet_pallas(
+                imgs, rng, d, out_hw, dtype)
+        else:
+            train_fn = lambda imgs, rng: augment.augment_imagenet(
+                imgs, rng, d, out_hw, dtype)
         eval_fn = lambda imgs: (
             augment.eval_center_crop(imgs, d, out_hw, dtype)
             if imgs.shape[1:3] != tuple(out_hw)
