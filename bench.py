@@ -72,7 +72,6 @@ def main():
             args.steps, args.warmup = 4, 2
     else:
         cfg.train.batch_size = args.batch_size or 256
-    n_chips = jax.device_count()
     bs = cfg.train.batch_size
 
     dtype = jnp.bfloat16 if args.dtype == "bfloat16" else jnp.float32
@@ -112,7 +111,8 @@ def main():
 
     for i in range(args.warmup):
         state, metrics = step_fn(state, get_batch(i))
-    sync(metrics)
+    if args.warmup:
+        sync(metrics)
 
     tic = time.perf_counter()
     for i in range(args.steps):
@@ -121,7 +121,10 @@ def main():
     elapsed = time.perf_counter() - tic
 
     imgs_per_sec = args.steps * bs / elapsed
-    per_chip = imgs_per_sec / max(n_chips, 1)
+    # the step is built with mesh=None (single-device jit): the whole batch
+    # runs on ONE chip regardless of how many the host exposes, so the
+    # per-chip figure divides by 1, not jax.device_count().
+    per_chip = imgs_per_sec
     baseline = 3000.0  # BASELINE.md: img/s/chip target, v5e, ResNet-50 bf16
     name = f"{cfg.model.network}{cfg.model.depth}_train_throughput"
     if args.quick:

@@ -91,7 +91,11 @@ class Solver:
         self.eval_step = make_eval_step(
             self.mesh, t.dp_mode, preprocess_fn=eval_fn)
         self.schedule = schedule_from_config(cfg)
-        self.speedometer = Speedometer(t.batch_size, t.frequent)
+        # auto_reset=True matches the reference Speedometer default: each
+        # log line (and metrics.jsonl 'train' row) reports the per-window
+        # average, not the epoch-cumulative one.
+        self.speedometer = Speedometer(t.batch_size, t.frequent,
+                                       auto_reset=True)
         from resnet_tpu.utils.metric_writer import MetricWriter
         self.metric_writer = MetricWriter(
             f"{t.model_prefix}.metrics.jsonl"
@@ -128,7 +132,10 @@ class Solver:
     def train_epoch(self, state: TrainState, train_iter: DataIter,
                     epoch: int) -> TrainState:
         t = self.cfg.train
-        acc = MetricAccumulator()
+        # `win` resets after every Speedometer log (the reference's
+        # auto_reset per-window metrics); `acc` accumulates the whole epoch
+        # for the end-of-epoch summary and last_train_metrics.
+        win, acc = MetricAccumulator(), MetricAccumulator()
         self.speedometer.reset()
         window = []   # device-resident metric dicts; synced only at log time
         nbatch = 0
@@ -143,15 +150,17 @@ class Solver:
                 # scalar sums at once (MXNet syncs outputs per batch for
                 # metric.update — we are strictly lazier).
                 for m in jax.device_get(window):
+                    win.update(m)
                     acc.update(m)
                 window = []
                 global_step = epoch * train_iter.steps_per_epoch + nbatch
                 lr = float(jax.device_get(self.schedule(global_step - 1)))
+                win_metrics = win.get()
                 self.speedometer(BatchEndParam(
-                    epoch=epoch, nbatch=nbatch, metrics=acc.get(), lr=lr),
-                    reset_fn=acc.reset)
+                    epoch=epoch, nbatch=nbatch, metrics=win_metrics, lr=lr),
+                    reset_fn=win.reset)
                 self.metric_writer.write(
-                    "train", epoch, global_step, acc.get(), lr=lr,
+                    "train", epoch, global_step, win_metrics, lr=lr,
                     samples_per_sec=self.speedometer.last_speed)
         for m in jax.device_get(window):
             acc.update(m)
