@@ -171,7 +171,17 @@ def make_val_iter(cfg, num_parts: int = 1,
                           part_index=part_index, drop_last=False,
                           pad_last=True)
     if d.pipeline == "record":
-        from resnet_tpu.data.pipeline import RecordIter
+        from resnet_tpu.data.pipeline import RecordIter, resolve_shards
+        try:
+            resolve_shards(d.data_dir, d.val_rec)
+        except FileNotFoundError:
+            # no validation pack — train-only runs are fine (the reference
+            # errors here; being graceful is strictly friendlier)
+            import logging
+            logging.getLogger("resnet_tpu").warning(
+                "no val .rec found (%s/%s): skipping validation",
+                d.data_dir, d.val_rec)
+            return None
         return RecordIter(cfg, train=False, num_parts=num_parts,
                           part_index=part_index)
     raise ValueError(f"unknown pipeline {d.pipeline!r}")

@@ -7,19 +7,31 @@ training loop pops ready batches. Decode of batch N+1 overlaps both the
 host dispatch and the device compute of batch N. Augmentation happens on
 device (ops/augment.py) — never here.
 
-Canvas contract: train AND val batches are fixed-size uint8 NHWC canvases
-(shorter-side-resized + center-cropped by the native code). The on-device
-augmenter random-resized-crops from the canvas (train) or center-crops
-(val). For 224x224 output the canvas is 256x256 — the classic 8/7 ratio the
-reference's val pipeline uses (resize 256, crop 224).
+Shard sets: ``train_rec`` may be a single file, a glob (``train_*.rec``),
+or an ``im2rec``-style prefix whose ``<prefix>_NNN.rec`` shards are
+discovered automatically — the multi-shard packs the reference's
+ImageRecordIter consumes (mxnet src/io/iter_image_recordio_2.cc). Records
+are streamed (pread) so arbitrarily large packs train with flat RSS.
+
+Canvas contract: train batches are LETTERBOXED uint8 canvases + per-image
+dims, so the on-device random-resized-crop samples the FULL original image
+with MXNet's sampling semantics (mxnet src/io/image_aug_default.cc). Val
+batches are shorter-side-resized + center-cropped; for 224x224 output the
+canvas is 256x256 — the reference's resize-256/crop-224 val transform.
+
+Checkpoint state: ``state_dict()`` returns (epoch, batch) and resume seeks
+the deterministic epoch stream to the exact batch — mid-epoch resume
+replays the identical remaining stream (stronger than the reference, which
+restarts the epoch — SURVEY.md §3.4 quirk).
 """
 
 from __future__ import annotations
 
+import glob
 import os
 import queue
 import threading
-from typing import Iterator, Tuple
+from typing import Iterator, List, Optional, Tuple
 
 import numpy as np
 
@@ -34,16 +46,37 @@ def canvas_size(out_hw: Tuple[int, int]) -> Tuple[int, int]:
     return (h * 8 + 6) // 7, (w * 8 + 6) // 7
 
 
+def resolve_shards(data_dir: str, name: str) -> List[str]:
+    """Resolve a rec spec to an ordered shard list.
+
+    Accepts: a plain file, a glob pattern, or an im2rec prefix — im2rec
+    writes ``prefix_000.rec .. prefix_NNN.rec`` when sharding
+    (data/im2rec.py), and this finds them when ``prefix.rec`` is absent.
+    """
+    path = os.path.join(data_dir, name)
+    if any(c in name for c in "*?["):
+        recs = sorted(glob.glob(path))
+    elif os.path.exists(path):
+        recs = [path]
+    else:
+        stem = path[:-4] if path.endswith(".rec") else path
+        recs = sorted(glob.glob(stem + "_[0-9]*.rec"))
+    if not recs:
+        raise FileNotFoundError(f"no .rec shards match {path!r}")
+    return recs
+
+
 class RecordIter(DataIter):
-    """DataIter over a .rec shard via the native loader."""
+    """DataIter over a .rec shard set via the native loader."""
 
     def __init__(self, cfg, train: bool, num_parts: int = 1,
                  part_index: int = 0):
         d, t = cfg.data, cfg.train
-        rec = os.path.join(d.data_dir, d.train_rec if train else d.val_rec)
-        idx = os.path.join(d.data_dir, d.train_idx if train else d.val_idx)
-        if not os.path.exists(idx):
-            idx = None
+        recs = resolve_shards(d.data_dir, d.train_rec if train else d.val_rec)
+        idxs = []
+        for rec in recs:
+            idx = rec[:-4] + ".idx" if rec.endswith(".rec") else rec + ".idx"
+            idxs.append(idx if os.path.exists(idx) else "")
         self.train = train
         self.shuffle = d.shuffle and train
         self.seed = t.seed
@@ -54,32 +87,66 @@ class RecordIter(DataIter):
 
         from resnet_tpu.data.native import make_record_loader
         self.loader = make_record_loader(
-            rec, idx, self.canvas_hw, threads=d.preprocess_threads,
-            num_parts=num_parts, part_index=part_index)
+            recs, idxs, self.canvas_hw, threads=d.preprocess_threads,
+            num_parts=num_parts, part_index=part_index,
+            letterbox=train)
         n = self.loader.num_records
         if train:
             self.steps_per_epoch = max(n // self.batch_size, 1)
         else:
             self.steps_per_epoch = (n + self.batch_size - 1) \
                 // self.batch_size
+        self._epoch = 0
+        self._batches_done = 0
+        self._resume = None  # (epoch, batch) to seek to on next epoch_iter
 
     # -- iteration ---------------------------------------------------------
 
+    def _fill_batch(self):
+        """Accumulate loader output until the batch is full or the epoch
+        ends (corrupt records are dropped by the loader; the reference
+        tops the batch up with the next records — match that)."""
+        bs = self.batch_size
+        parts = []
+        have = 0
+        while have < bs:
+            out = self.loader.next_batch(bs - have)
+            images, labels, dims = out
+            if len(images) == 0:
+                break
+            parts.append((images, labels, dims))
+            have += len(images)
+        if not parts:
+            return None
+        images = np.concatenate([p[0] for p in parts])
+        labels = np.concatenate([p[1] for p in parts])
+        dims = (np.concatenate([p[2] for p in parts])
+                if parts[0][2] is not None else None)
+        return images, labels, dims
+
     def epoch_iter(self, epoch: int) -> Iterator[dict]:
         self._epoch = epoch
+        self._batches_done = 0
         self.loader.begin_epoch(epoch, self.shuffle, self.seed)
+        start_batch = 0
+        if self._resume and self._resume[0] == epoch and self._resume[1]:
+            # mid-epoch resume: seek the deterministic stream to the batch
+            start_batch = min(self._resume[1], self.steps_per_epoch)
+            self.loader.skip(start_batch * self.batch_size)
+            self._batches_done = start_batch
+        self._resume = None
         q: queue.Queue = queue.Queue(maxsize=self.prefetch_buffer)
         stop = threading.Event()
 
         def producer():
             try:
-                for _ in range(self.steps_per_epoch):
+                for _ in range(self.steps_per_epoch - start_batch):
                     if stop.is_set():
                         return
-                    images, labels = self.loader.next_batch(self.batch_size)
-                    if len(images) == 0:
+                    out = self._fill_batch()
+                    if out is None:
                         break
-                    q.put(self._to_batch(images, labels))
+                    q.put(self._to_batch(*out))
             finally:
                 q.put(None)
 
@@ -90,6 +157,7 @@ class RecordIter(DataIter):
                 item = q.get()
                 if item is None:
                     break
+                self._batches_done += 1
                 yield item
         finally:
             stop.set()
@@ -100,10 +168,13 @@ class RecordIter(DataIter):
                 except queue.Empty:
                     th.join(timeout=0.1)
 
-    def _to_batch(self, images: np.ndarray, labels: np.ndarray) -> dict:
+    def _to_batch(self, images: np.ndarray, labels: np.ndarray,
+                  dims: Optional[np.ndarray]) -> dict:
         n = len(images)
         bs = self.batch_size
         batch = {"image": images, "label": labels.astype(np.int32)}
+        if dims is not None:
+            batch["dims"] = dims
         if n < bs:
             # pad + mask (val tail; the reference pads by wrapping — we mask)
             pad = bs - n
@@ -113,6 +184,9 @@ class RecordIter(DataIter):
                 [batch["label"], np.zeros(pad, np.int32)])
             batch["mask"] = np.concatenate(
                 [np.ones(n, np.float32), np.zeros(pad, np.float32)])
+            if dims is not None:
+                batch["dims"] = np.concatenate(
+                    [dims, np.ones((pad, 4), np.int32)])
         elif not self.train:
             batch["mask"] = np.ones(bs, np.float32)
         return batch
@@ -120,7 +194,8 @@ class RecordIter(DataIter):
     # -- checkpoint state --------------------------------------------------
 
     def state_dict(self) -> dict:
-        return {"epoch": getattr(self, "_epoch", 0)}
+        return {"epoch": self._epoch, "batch": self._batches_done}
 
     def load_state_dict(self, state: dict) -> None:
         self._epoch = state.get("epoch", 0)
+        self._resume = (self._epoch, state.get("batch", 0))

@@ -89,7 +89,7 @@ class TestNativeLoader:
                                 canvas_hw=(32, 32), threads=2)
         assert ld.num_records == 16
         ld.begin_epoch(0, shuffle=False, seed=0)
-        images, labels = ld.next_batch(16)
+        images, labels, dims = ld.next_batch(16)
         assert images.shape == (16, 32, 32, 3)
         assert sorted(labels.tolist()) == sorted(
             [e[1] for e in tiny_imageset["entries"]])
@@ -103,11 +103,11 @@ class TestNativeLoader:
         ld = NativeRecordLoader(tiny_imageset["prefix"] + ".rec", None,
                                 canvas_hw=(16, 16), threads=1)
         ld.begin_epoch(3, shuffle=True, seed=7)
-        _, l1 = ld.next_batch(16)
+        _, l1, _ = ld.next_batch(16)
         ld.begin_epoch(3, shuffle=True, seed=7)
-        _, l2 = ld.next_batch(16)
+        _, l2, _ = ld.next_batch(16)
         ld.begin_epoch(4, shuffle=True, seed=7)
-        _, l3 = ld.next_batch(16)
+        _, l3, _ = ld.next_batch(16)
         assert l1.tolist() == l2.tolist()
         assert l1.tolist() != l3.tolist()
 
@@ -123,20 +123,105 @@ class TestNativeLoader:
                 canvas_hw=(16, 16), threads=1, num_parts=4, part_index=part)
             assert ld.num_records == 4
             ld.begin_epoch(0, shuffle=False, seed=0)
-            imgs, labels = ld.next_batch(8)
+            imgs, labels, _ = ld.next_batch(8)
             assert len(imgs) == 4  # partial batch at epoch end
             seen.extend(imgs.reshape(4, -1).sum(1).tolist())
         assert len(seen) == 16
+
+    def test_corrupt_records_skipped(self, tmp_path, tiny_imageset):
+        """Corrupt JPEGs must be dropped from the batch (the reference's
+        ImageRecordIOParser2 skips bad imdecode results), not trained on
+        as zero images with a wrapped label."""
+        from PIL import Image
+        from resnet_tpu.data.native import NativeRecordLoader
+        path = str(tmp_path / "mix.rec")
+        buf = io.BytesIO()
+        Image.fromarray(np.full((20, 20, 3), 99, np.uint8)).save(
+            buf, format="JPEG")
+        good = buf.getvalue()
+        with rio.RecordIOWriter(path) as w:
+            w.write(rio.pack_image_record(good, label=1.0))
+            w.write(rio.pack_image_record(b"\xff\xd8 not a jpeg", label=2.0))
+            w.write(rio.pack_image_record(good, label=3.0))
+        ld = NativeRecordLoader(path, None, canvas_hw=(16, 16), threads=1)
+        ld.begin_epoch(0, shuffle=False, seed=0)
+        images, labels, _ = ld.next_batch(3)
+        assert labels.tolist() == [1.0, 3.0]
+        assert len(images) == 2 and (labels >= 0).all()
+        assert ld._decode_failures == 1
 
     def test_epoch_end_partial(self, tiny_imageset):
         from resnet_tpu.data.native import NativeRecordLoader
         ld = NativeRecordLoader(tiny_imageset["prefix"] + ".rec", None,
                                 canvas_hw=(16, 16), threads=2)
         ld.begin_epoch(0, shuffle=False, seed=0)
-        i1, _ = ld.next_batch(10)
-        i2, _ = ld.next_batch(10)
-        i3, _ = ld.next_batch(10)
+        i1, _, _ = ld.next_batch(10)
+        i2, _, _ = ld.next_batch(10)
+        i3, _, _ = ld.next_batch(10)
         assert len(i1) == 10 and len(i2) == 6 and len(i3) == 0
+
+    def test_letterbox_dims(self, tiny_imageset):
+        """Letterbox mode: whole image inside the canvas, zero pad, dims =
+        (orig_h, orig_w, eff_h, eff_w) — the full-image crop-domain
+        contract the on-device augmenter relies on."""
+        from resnet_tpu.data.native import NativeRecordLoader
+        ld = NativeRecordLoader(tiny_imageset["prefix"] + ".rec",
+                                tiny_imageset["prefix"] + ".idx",
+                                canvas_hw=(32, 32), threads=1,
+                                letterbox=True)
+        ld.begin_epoch(0, shuffle=False, seed=0)
+        images, labels, dims = ld.next_batch(16)
+        assert dims.shape == (16, 4)
+        # source images are (40+4*cls, 48): taller than wide for cls 3
+        assert set(dims[:, 1].tolist()) == {48}
+        for img, (oh, ow, eh, ew) in zip(images, dims):
+            assert 1 <= eh <= 32 and 1 <= ew <= 32
+            assert max(eh / oh, ew / ow) <= 32 / 47  # fit INSIDE
+            # padding region is zero
+            if eh < 32:
+                assert img[eh:, :].max() == 0
+            if ew < 32:
+                assert img[:, ew:].max() == 0
+            assert img[:eh, :ew].mean() > 5  # content present
+
+    def test_multi_shard_set(self, tiny_imageset, tmp_path):
+        """A sharded pack (im2rec-style train_000.rec...) reads as ONE
+        dataset, with num_parts partitioning across the whole set."""
+        from resnet_tpu.data.im2rec import pack
+        from resnet_tpu.data.native import NativeRecordLoader
+        prefix = str(tmp_path / "train")
+        pack(tiny_imageset["root"], prefix, tiny_imageset["entries"],
+             resize=0, quality=95, num_shards=3)
+        import glob as _glob
+        recs = sorted(_glob.glob(prefix + "_*.rec"))
+        assert len(recs) == 3
+        ld = NativeRecordLoader(recs, None, canvas_hw=(16, 16), threads=2)
+        assert ld.num_records == 16
+        ld.begin_epoch(0, shuffle=False, seed=0)
+        _, labels, _ = ld.next_batch(16)
+        assert sorted(labels.tolist()) == sorted(
+            [e[1] for e in tiny_imageset["entries"]])
+        # sharding disjointness across the shard SET
+        seen = []
+        for part in range(2):
+            p = NativeRecordLoader(recs, None, canvas_hw=(16, 16),
+                                   threads=1, num_parts=2, part_index=part)
+            p.begin_epoch(0, shuffle=False, seed=0)
+            _, pl, _ = p.next_batch(16)
+            seen.extend(pl.tolist())
+        assert sorted(seen) == sorted(labels.tolist())
+
+    def test_skip_replays_stream(self, tiny_imageset):
+        """skip(n) must land exactly where n sequential reads would."""
+        from resnet_tpu.data.native import NativeRecordLoader
+        ld = NativeRecordLoader(tiny_imageset["prefix"] + ".rec", None,
+                                canvas_hw=(16, 16), threads=1)
+        ld.begin_epoch(5, shuffle=True, seed=3)
+        _, l_all, _ = ld.next_batch(16)
+        ld.begin_epoch(5, shuffle=True, seed=3)
+        ld.skip(6)
+        _, l_rest, _ = ld.next_batch(16)
+        assert l_rest.tolist() == l_all[6:].tolist()
 
 
 class TestPythonLoaderParity:
@@ -152,8 +237,8 @@ class TestPythonLoaderParity:
                                tiny_imageset["prefix"] + ".idx", **kw)
         a.begin_epoch(0, False, 0)
         b.begin_epoch(0, False, 0)
-        ia, la = a.next_batch(16)
-        ib, lb = b.next_batch(16)
+        ia, la, _ = a.next_batch(16)
+        ib, lb, _ = b.next_batch(16)
         assert la.tolist() == lb.tolist()
         # decoders/resizers differ in rounding; images must be close
         diff = np.abs(ia.astype(np.int32) - ib.astype(np.int32))
@@ -203,6 +288,107 @@ class TestRecordIter:
         from resnet_tpu.data.pipeline import canvas_size
         assert canvas_size((224, 224)) == (256, 256)
         assert canvas_size((32, 32)) == (32, 32)
+
+    def test_train_batches_carry_dims(self, tiny_imageset):
+        from resnet_tpu.config import Config
+        from resnet_tpu.data.pipeline import RecordIter
+        cfg = Config()
+        cfg.data.data_dir = tiny_imageset["root"]
+        cfg.data.train_rec = "train.rec"
+        cfg.data.image_shape = (32, 32, 3)
+        cfg.train.batch_size = 8
+        it = RecordIter(cfg, train=True)
+        b = next(iter(it.epoch_iter(0)))
+        assert b["dims"].shape == (8, 4)
+        assert (b["dims"][:, 1] == 48).all()  # source width
+
+    def test_mid_epoch_resume_replays_stream(self, tiny_imageset):
+        """state_dict/load_state_dict must resume the EXACT remaining
+        batch stream mid-epoch (stronger than the reference's
+        epoch-granular restart — SURVEY.md §3.4)."""
+        from resnet_tpu.config import Config
+        from resnet_tpu.data.pipeline import RecordIter
+        cfg = Config()
+        cfg.data.data_dir = tiny_imageset["root"]
+        cfg.data.train_rec = "train.rec"
+        cfg.data.image_shape = (32, 32, 3)
+        cfg.data.shuffle = True
+        cfg.train.batch_size = 4
+        it = RecordIter(cfg, train=True)
+        gen = it.epoch_iter(2)
+        first = [next(gen)["label"].tolist() for _ in range(2)]
+        state = it.state_dict()
+        assert state == {"epoch": 2, "batch": 2}
+        rest_original = [b["label"].tolist() for b in gen]
+
+        it2 = RecordIter(cfg, train=True)
+        it2.load_state_dict(state)
+        rest_resumed = [b["label"].tolist() for b in it2.epoch_iter(2)]
+        assert rest_resumed == rest_original
+        assert len(first) + len(rest_resumed) == it.steps_per_epoch
+
+    def test_multi_shard_record_iter(self, tiny_imageset, tmp_path):
+        """RecordIter resolves an im2rec shard prefix to the full set."""
+        from resnet_tpu.config import Config
+        from resnet_tpu.data.im2rec import pack
+        from resnet_tpu.data.pipeline import RecordIter
+        pack(tiny_imageset["root"], str(tmp_path / "train"),
+             tiny_imageset["entries"], resize=0, quality=95, num_shards=4)
+        cfg = Config()
+        cfg.data.data_dir = str(tmp_path)
+        cfg.data.train_rec = "train.rec"   # no such file; shards exist
+        cfg.data.image_shape = (32, 32, 3)
+        cfg.train.batch_size = 8
+        it = RecordIter(cfg, train=True)
+        assert it.loader.num_records == 16
+        labels = []
+        for b in it.epoch_iter(0):
+            labels.extend(b["label"].tolist())
+        assert sorted(labels) == sorted(
+            int(e[1]) for e in tiny_imageset["entries"])
+
+    def test_val_transform_parity(self, tiny_imageset):
+        """The .rec val path must equal the reference's transform:
+        shorter-side resize to 8/7*data_shape + center crop (PIL oracle)."""
+        import io as _io
+        import jax.numpy as jnp
+        from PIL import Image
+        from resnet_tpu.config import Config
+        from resnet_tpu.data.pipeline import RecordIter
+        from resnet_tpu.data.recordio import (RecordIOReader,
+                                              unpack_image_record)
+        from resnet_tpu.ops.augment import eval_center_crop
+        cfg = Config()
+        cfg.data.data_dir = tiny_imageset["root"]
+        cfg.data.val_rec = "train.rec"
+        cfg.data.val_idx = "train.idx"
+        cfg.data.image_shape = (112, 112, 3)
+        cfg.data.mean_rgb = (0.0, 0.0, 0.0)
+        cfg.data.std_rgb = (1.0, 1.0, 1.0)
+        cfg.train.batch_size = 16
+        it = RecordIter(cfg, train=False)
+        assert it.canvas_hw == (128, 128)  # 8/7 of 112
+        batch = next(iter(it.epoch_iter(0)))
+        out = np.asarray(eval_center_crop(
+            jnp.asarray(batch["image"]), cfg.data, (112, 112)))
+        # PIL oracle: resize shorter side to 128, center-crop 112
+        reader = RecordIOReader(tiny_imageset["prefix"] + ".rec",
+                                tiny_imageset["prefix"] + ".idx")
+        rec = unpack_image_record(reader.read_at(reader.offsets[0]))
+        img = Image.open(_io.BytesIO(rec.image)).convert("RGB")
+        iw, ih = img.size
+        s = max(128 / ih, 128 / iw)
+        img = img.resize((max(128, round(iw * s)), max(128, round(ih * s))),
+                         Image.BILINEAR)
+        rw, rh = img.size
+        arr = np.asarray(img)[(rh - 128) // 2:(rh - 128) // 2 + 128,
+                              (rw - 128) // 2:(rw - 128) // 2 + 128]
+        want = arr[8:120, 8:120].astype(np.float32)
+        k = int(np.argmin([abs(float(l) - rec.label)
+                           for l in batch["label"]]))
+        # decoders/resizers differ in rounding; close, not bitwise
+        diff = np.abs(out[k] - want)
+        assert diff.mean() < 4.0
 
 
 class TestMemoryIter:
