@@ -79,11 +79,13 @@ def main():
     if not args.no_augment:
         if jax.default_backend() == "tpu":
             from resnet_tpu.ops.augment_pallas import augment_imagenet_pallas
-            aug_fn = lambda imgs, rng: augment_imagenet_pallas(
-                imgs, rng, cfg.data, cfg.data.image_shape[:2], dtype)
+            aug_fn = lambda imgs, rng, dims=None: augment_imagenet_pallas(
+                imgs, rng, cfg.data, cfg.data.image_shape[:2], dtype,
+                dims=dims)
         else:
-            aug_fn = lambda imgs, rng: augment.augment_imagenet(
-                imgs, rng, cfg.data, cfg.data.image_shape[:2], dtype)
+            aug_fn = lambda imgs, rng, dims=None: augment.augment_imagenet(
+                imgs, rng, cfg.data, cfg.data.image_shape[:2], dtype,
+                dims=dims)
 
     state = create_train_state(cfg)
     step_fn = make_train_step(mesh=None, augment_fn=aug_fn)

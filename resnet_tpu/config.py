@@ -31,16 +31,26 @@ class DataConfig:
     num_classes: int = 1000
     num_examples: int = 1281167
     image_shape: tuple = (224, 224, 3)  # NHWC (reference is '3,224,224' NCHW)
-    # Augmentation (parity-critical set, ref: mxnet src/io/image_aug_default.cc)
+    # Augmentation (parity-critical set, ref: mxnet src/io/image_aug_default.cc
+    # sampling rules; defaults mirror the reference family's ImageNet cfgs)
     rand_crop: bool = True
     rand_mirror: bool = True
+    random_resized_crop: bool = True  # area-based RRC vs classic scale crop
     min_random_area: float = 0.08     # random-resized-crop area range
     max_random_area: float = 1.0
-    max_aspect_ratio: float = 4.0 / 3.0   # aspect sampled in [3/4, 4/3]
+    # MXNet aspect convention: ratio ~ U[1-a, 1+a] for a <= 1 (the
+    # reference cfgs use 0.25); a > 1 is accepted as the multiplicative
+    # [1/a, a] convention; min_aspect_ratio overrides the lower bound.
+    max_aspect_ratio: float = 0.25
+    min_aspect_ratio: Optional[float] = None
+    # classic (random_resized_crop=False) path: shorter side resized to
+    # data_shape * s with s ~ U[min_random_scale, max_random_scale]
+    min_random_scale: float = 1.0
+    max_random_scale: float = 1.0
     max_rotate_angle: float = 0.0     # degrees, uniform in [-a, a]
-    random_h: int = 0                 # HSL jitter ranges (36/50/50 in some cfgs)
-    random_s: int = 0
-    random_l: int = 0
+    random_h: int = 36                # HSL jitter ranges (reference ImageNet
+    random_s: int = 50                # cfgs: 36/50/50 in OpenCV HLS units)
+    random_l: int = 50
     mean_rgb: tuple = (123.68, 116.779, 103.939)
     std_rgb: tuple = (58.393, 57.12, 57.375)
     preprocess_threads: int = 4
@@ -121,7 +131,8 @@ def cifar10_resnet18() -> Config:
         cfg.data, num_classes=10, num_examples=50000,
         image_shape=(32, 32, 3), pipeline="memory",
         mean_rgb=(125.307, 122.95, 113.865), std_rgb=(62.993, 62.089, 66.705),
-        min_random_area=1.0, max_aspect_ratio=1.0,
+        min_random_area=1.0, max_aspect_ratio=0.0,
+        random_h=0, random_s=0, random_l=0,
     )
     cfg.model = dataclasses.replace(cfg.model, depth=18, dataset="cifar10")
     cfg.train = dataclasses.replace(
@@ -187,6 +198,9 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--cardinality", type=int, default=None)
     # data
     p.add_argument("--data-dir", default=None)
+    p.add_argument("--train-rec", default=None,
+                   help=".rec file/glob/shard-prefix under data-dir")
+    p.add_argument("--val-rec", default=None)
     p.add_argument("--num-classes", type=int, default=None)
     p.add_argument("--num-examples", type=int, default=None)
     p.add_argument("--image-shape", default=None,
@@ -194,6 +208,17 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--pipeline", choices=["synthetic", "memory", "record"],
                    default=None)
     p.add_argument("--preprocess-threads", type=int, default=None)
+    # augmentation knobs (ref: mx.io.ImageRecordIter kwargs)
+    p.add_argument("--no-random-resized-crop", action="store_true",
+                   default=None, help="classic scale-crop sampling instead")
+    p.add_argument("--min-random-area", type=float, default=None)
+    p.add_argument("--max-random-area", type=float, default=None)
+    p.add_argument("--max-aspect-ratio", type=float, default=None)
+    p.add_argument("--min-random-scale", type=float, default=None)
+    p.add_argument("--max-random-scale", type=float, default=None)
+    p.add_argument("--random-h", type=int, default=None)
+    p.add_argument("--random-s", type=int, default=None)
+    p.add_argument("--random-l", type=int, default=None)
     # train
     p.add_argument("--batch-size", type=int, default=None, help="global batch")
     p.add_argument("--lr", type=float, default=None)
@@ -240,6 +265,8 @@ def config_from_args(args: argparse.Namespace) -> Config:
     if args.dataset is not None: m["dataset"] = args.dataset
     if args.cardinality is not None: m["cardinality"] = args.cardinality
     if args.data_dir is not None: d["data_dir"] = args.data_dir
+    if args.train_rec is not None: d["train_rec"] = args.train_rec
+    if args.val_rec is not None: d["val_rec"] = args.val_rec
     if args.num_classes is not None: d["num_classes"] = args.num_classes
     if args.num_examples is not None: d["num_examples"] = args.num_examples
     if args.image_shape is not None:
@@ -247,6 +274,20 @@ def config_from_args(args: argparse.Namespace) -> Config:
     if args.pipeline is not None: d["pipeline"] = args.pipeline
     if args.preprocess_threads is not None:
         d["preprocess_threads"] = args.preprocess_threads
+    if args.no_random_resized_crop: d["random_resized_crop"] = False
+    if args.min_random_area is not None:
+        d["min_random_area"] = args.min_random_area
+    if args.max_random_area is not None:
+        d["max_random_area"] = args.max_random_area
+    if args.max_aspect_ratio is not None:
+        d["max_aspect_ratio"] = args.max_aspect_ratio
+    if args.min_random_scale is not None:
+        d["min_random_scale"] = args.min_random_scale
+    if args.max_random_scale is not None:
+        d["max_random_scale"] = args.max_random_scale
+    if args.random_h is not None: d["random_h"] = args.random_h
+    if args.random_s is not None: d["random_s"] = args.random_s
+    if args.random_l is not None: d["random_l"] = args.random_l
     if args.batch_size is not None: t["batch_size"] = args.batch_size
     if args.lr is not None: t["lr"] = args.lr
     if args.lr_steps is not None: t["lr_steps"] = _parse_tuple(args.lr_steps)

@@ -77,37 +77,134 @@ def augment_cifar(images_u8: jnp.ndarray, rng, cfg: DataConfig,
 
 
 # ---------------------------------------------------------------------------
-# ImageNet: random-resized-crop (+mirror, +HSL) from a fixed host canvas
+# ImageNet: random-resized-crop (+mirror, +HSL) from a host canvas
 # ---------------------------------------------------------------------------
 
-def sample_crop_boxes(rng, n: int, src_h: int, src_w: int,
-                      min_area: float, max_area: float,
-                      max_aspect: float, attempts: int = 10):
-    """Vectorized MXNet/GluonCV crop sampling: per example, ``attempts``
-    candidate (area, aspect) draws; first candidate that fits wins, else
-    center crop. Returns (y0, x0, ch, cw) float arrays, shape (N,).
+def aspect_range(max_aspect_ratio: float,
+                 min_aspect_ratio: Optional[float] = None):
+    """MXNet aspect-ratio convention (mx.io.ImageRecordIter docs): if
+    ``min_aspect_ratio`` is given the range is [min, max]; otherwise it is
+    [1 - a, 1 + a] (the reference cfgs use a = 0.25). Values a > 1 are
+    accepted as the multiplicative [1/a, a] convention other frameworks
+    use (GluonCV-style configs) — a 4/3 means [3/4, 4/3]."""
+    if min_aspect_ratio is not None:
+        if not 0 < min_aspect_ratio <= max_aspect_ratio:
+            raise ValueError(
+                f"aspect range [{min_aspect_ratio}, {max_aspect_ratio}] "
+                "is empty")
+        return float(min_aspect_ratio), float(max_aspect_ratio)
+    a = float(max_aspect_ratio)
+    if a < 0:
+        raise ValueError(f"max_aspect_ratio must be >= 0, got {a}")
+    if a <= 1.0:
+        return 1.0 - a, 1.0 + a
+    return 1.0 / a, a
+
+
+def _pick_first(m, first):
+    return jnp.take_along_axis(m, first[:, None], axis=1)[:, 0]
+
+
+def boxes_from_uniforms(u_area, u_ratio, u_y, u_x, src_h, src_w,
+                        min_area: float, max_area: float,
+                        lo_aspect: float, hi_aspect: float):
+    """MXNet random-resized-crop box math as a pure function of uniform
+    draws (mxnet src/io/image_aug_default.cc random_resized_crop rules):
+
+      per attempt: area ~ U[min_area, max_area] * H*W,
+                   ratio ~ U[lo_aspect, hi_aspect],
+                   cw = round(sqrt(area * ratio)), ch = round(sqrt(area / ratio))
+      first attempt with cw <= W and ch <= H wins; origins are INTEGER
+      uniform in [0, H-ch] x [0, W-cw]. Fallback after all attempts: the
+      center square of the short side (the GluonCV/torchvision-documented
+      fallback of this sampler family).
+
+    All inputs are (N, A) / (N,) arrays; pure jnp so the NumPy oracle in
+    tests/test_augment.py re-implements it independently for parity.
     """
-    ra, rr, ry, rx = jax.random.split(rng, 4)
-    src_area = float(src_h * src_w)
-    area = jax.random.uniform(ra, (n, attempts), minval=min_area,
-                              maxval=max_area) * src_area
-    aspect = jax.random.uniform(rr, (n, attempts),
-                                minval=1.0 / max_aspect, maxval=max_aspect)
-    cw = jnp.sqrt(area * aspect)
-    ch = jnp.sqrt(area / aspect)
-    ok = (cw <= src_w) & (ch <= src_h)
-    # index of first valid attempt (argmax of bool picks first True)
-    first = jnp.argmax(ok, axis=1)
+    src_h = src_h.astype(jnp.float32)[:, None]              # (N, 1)
+    src_w = src_w.astype(jnp.float32)[:, None]
+    area = (min_area + u_area * (max_area - min_area)) * src_h * src_w
+    ratio = lo_aspect + u_ratio * (hi_aspect - lo_aspect)
+    cw = jnp.round(jnp.sqrt(area * ratio))
+    ch = jnp.round(jnp.sqrt(area / ratio))
+    ok = (cw <= src_w) & (ch <= src_h) & (cw >= 1) & (ch >= 1)
+    first = jnp.argmax(ok, axis=1)                           # first True
     any_ok = jnp.any(ok, axis=1)
-    pick = lambda m: jnp.take_along_axis(m, first[:, None], axis=1)[:, 0]
-    cw = jnp.where(any_ok, pick(cw), jnp.minimum(src_h, src_w))
-    ch = jnp.where(any_ok, pick(ch), jnp.minimum(src_h, src_w))
-    # random top-left within bounds (uniform over valid positions)
-    uy = jax.random.uniform(ry, (n,))
-    ux = jax.random.uniform(rx, (n,))
-    y0 = jnp.where(any_ok, uy * (src_h - ch), (src_h - ch) / 2.0)
-    x0 = jnp.where(any_ok, ux * (src_w - cw), (src_w - cw) / 2.0)
+    src_h, src_w = src_h[:, 0], src_w[:, 0]
+    short = jnp.minimum(src_h, src_w)
+    cw = jnp.where(any_ok, _pick_first(cw, first), short)
+    ch = jnp.where(any_ok, _pick_first(ch, first), short)
+    # integer origins: floor(u * (range + 1)), clipped (u < 1 a.s.)
+    uy = _pick_first(u_y, first)
+    ux = _pick_first(u_x, first)
+    y0_rand = jnp.minimum(jnp.floor(uy * (src_h - ch + 1.0)), src_h - ch)
+    x0_rand = jnp.minimum(jnp.floor(ux * (src_w - cw + 1.0)), src_w - cw)
+    y0 = jnp.where(any_ok, y0_rand, jnp.floor((src_h - ch) / 2.0))
+    x0 = jnp.where(any_ok, x0_rand, jnp.floor((src_w - cw) / 2.0))
     return y0, x0, ch, cw
+
+
+def sample_crop_boxes(rng, src_h, src_w, min_area: float, max_area: float,
+                      max_aspect_ratio: float,
+                      min_aspect_ratio: Optional[float] = None,
+                      attempts: int = 10):
+    """MXNet random-resized-crop sampling over per-image source dims.
+
+    ``src_h``/``src_w`` are (N,) arrays of ORIGINAL image dims — every
+    crop is sampled from the full image domain, exactly like the
+    reference's CPU augmenter which sees the full decoded image.
+    Returns (y0, x0, ch, cw) float (N,) arrays, integer-valued.
+    """
+    lo, hi = aspect_range(max_aspect_ratio, min_aspect_ratio)
+    n = src_h.shape[0]
+    ra, rr, ry, rx = jax.random.split(rng, 4)
+    shape = (n, attempts)
+    return boxes_from_uniforms(
+        jax.random.uniform(ra, shape), jax.random.uniform(rr, shape),
+        jax.random.uniform(ry, shape), jax.random.uniform(rx, shape),
+        src_h, src_w, min_area, max_area, lo, hi)
+
+
+def scale_boxes_from_uniforms(u_scale, u_ratio, u_y, u_x, src_h, src_w,
+                              min_scale: float, max_scale: float,
+                              lo_aspect: float, hi_aspect: float,
+                              rand_crop: bool):
+    """MXNet's CLASSIC (random_resized_crop=False) rand-crop semantics
+    (mxnet src/io/image_aug_default.cc scale path): the image's shorter
+    side is resized to ``data_shape * s`` with s ~ U[min_scale, max_scale]
+    and the width additionally stretched by ratio ~ U[lo, hi]; a
+    data_shape-sized crop is taken at a random (rand_crop) or center
+    position. Expressed as a source-image crop box: a window of
+    short/s x short/(s*ratio) pixels, uniformly placed.
+    """
+    src_h = src_h.astype(jnp.float32)
+    src_w = src_w.astype(jnp.float32)
+    short = jnp.minimum(src_h, src_w)
+    s = min_scale + u_scale * (max_scale - min_scale)
+    ratio = lo_aspect + u_ratio * (hi_aspect - lo_aspect)
+    ch = jnp.clip(jnp.round(short / s), 1.0, src_h)
+    cw = jnp.clip(jnp.round(short / (s * ratio)), 1.0, src_w)
+    if rand_crop:
+        y0 = jnp.minimum(jnp.floor(u_y * (src_h - ch + 1.0)), src_h - ch)
+        x0 = jnp.minimum(jnp.floor(u_x * (src_w - cw + 1.0)), src_w - cw)
+    else:
+        y0 = jnp.floor((src_h - ch) / 2.0)
+        x0 = jnp.floor((src_w - cw) / 2.0)
+    return y0, x0, ch, cw
+
+
+def sample_scale_crop_boxes(rng, src_h, src_w, min_scale: float,
+                            max_scale: float, max_aspect_ratio: float,
+                            min_aspect_ratio: Optional[float] = None,
+                            rand_crop: bool = True):
+    lo, hi = aspect_range(max_aspect_ratio, min_aspect_ratio)
+    n = src_h.shape[0]
+    rs, rr, ry, rx = jax.random.split(rng, 4)
+    return scale_boxes_from_uniforms(
+        jax.random.uniform(rs, (n,)), jax.random.uniform(rr, (n,)),
+        jax.random.uniform(ry, (n,)), jax.random.uniform(rx, (n,)),
+        src_h, src_w, min_scale, max_scale, lo, hi, rand_crop)
 
 
 def resample_weights(starts: jnp.ndarray, sizes: jnp.ndarray, out_size: int,
@@ -240,13 +337,61 @@ def rotate_images(images: jnp.ndarray, rng, max_angle_deg: float):
     return jax.vmap(one)(images, angles)
 
 
+def sample_boxes_canvas(rng, cfg: DataConfig, n: int, hc: int, wc: int,
+                        out_hw: Tuple[int, int],
+                        dims: Optional[jnp.ndarray] = None):
+    """Sample crop boxes with MXNet semantics and return them in CANVAS
+    coordinates (shared by the XLA and Pallas augmentation backends).
+
+    ``dims`` (N,4) int32 = (orig_h, orig_w, eff_h, eff_w) from the
+    letterboxing host loader: boxes are sampled in ORIGINAL image space
+    (full-image crop domain, integer dims/origins — the reference
+    augmenter's view) and mapped onto the letterboxed canvas by the
+    per-image eff/orig scale. Without ``dims`` the canvas IS the image
+    (in-memory pipelines ship exact-size images).
+    """
+    if dims is None:
+        src_h = jnp.full((n,), float(hc), jnp.float32)
+        src_w = jnp.full((n,), float(wc), jnp.float32)
+        sy = sx = jnp.ones((n,), jnp.float32)
+    else:
+        src_h = dims[:, 0].astype(jnp.float32)
+        src_w = dims[:, 1].astype(jnp.float32)
+        sy = dims[:, 2].astype(jnp.float32) / src_h
+        sx = dims[:, 3].astype(jnp.float32) / src_w
+    if cfg.random_resized_crop and cfg.rand_crop:
+        y0, x0, ch, cw = sample_crop_boxes(
+            rng, src_h, src_w, cfg.min_random_area, cfg.max_random_area,
+            cfg.max_aspect_ratio, cfg.min_aspect_ratio)
+    elif cfg.rand_crop or cfg.min_random_scale != 1.0 \
+            or cfg.max_random_scale != 1.0:
+        y0, x0, ch, cw = sample_scale_crop_boxes(
+            rng, src_h, src_w, cfg.min_random_scale, cfg.max_random_scale,
+            cfg.max_aspect_ratio if cfg.rand_crop else 0.0,
+            cfg.min_aspect_ratio if cfg.rand_crop else None,
+            rand_crop=cfg.rand_crop)
+    else:
+        # deterministic center crop (rand_crop=False, no scale jitter):
+        # shorter-side resize + center crop of data_shape, expressed as a
+        # source box of out_hw * short/out_short pixels.
+        oh, ow = out_hw
+        short = jnp.minimum(src_h, src_w)
+        ch = jnp.minimum(jnp.round(short * (oh / max(oh, ow))), src_h)
+        cw = jnp.minimum(jnp.round(short * (ow / max(oh, ow))), src_w)
+        y0 = jnp.floor((src_h - ch) / 2.0)
+        x0 = jnp.floor((src_w - cw) / 2.0)
+    return y0 * sy, x0 * sx, ch * sy, cw * sx
+
+
 def augment_imagenet(canvas_u8: jnp.ndarray, rng, cfg: DataConfig,
                      out_hw: Tuple[int, int] = (224, 224),
-                     dtype=jnp.float32) -> jnp.ndarray:
+                     dtype=jnp.float32,
+                     dims: Optional[jnp.ndarray] = None) -> jnp.ndarray:
     """(N,Hc,Wc,3) uint8 host canvas -> augmented (N,224,224,3) dtype.
 
-    Full train-time pipeline: [rotate] -> RRC (or center crop when
-    rand_crop=False) -> mirror -> HSL jitter -> normalize.
+    Full train-time pipeline: [rotate] -> random-resized-crop / scale-crop
+    (MXNet sampling semantics, full-image domain when ``dims`` ships the
+    original sizes) -> mirror -> HSL jitter -> normalize.
     """
     n, hc, wc, _ = canvas_u8.shape
     r_box, r_mir, r_hsl, r_rot = jax.random.split(rng, 4)
@@ -254,16 +399,7 @@ def augment_imagenet(canvas_u8: jnp.ndarray, rng, cfg: DataConfig,
     if cfg.max_rotate_angle > 0:
         src = rotate_images(src.astype(jnp.float32), r_rot,
                             cfg.max_rotate_angle)
-    if cfg.rand_crop:
-        boxes = sample_crop_boxes(
-            r_box, n, hc, wc, cfg.min_random_area, cfg.max_random_area,
-            cfg.max_aspect_ratio)
-    else:
-        # center crop (ref: rand_crop=False path of the default augmenter)
-        oh, ow = out_hw
-        boxes = (jnp.full((n,), (hc - oh) / 2.0),
-                 jnp.full((n,), (wc - ow) / 2.0),
-                 jnp.full((n,), float(oh)), jnp.full((n,), float(ow)))
+    boxes = sample_boxes_canvas(r_box, cfg, n, hc, wc, out_hw, dims)
     # mirror folds into the horizontal resample matrix — zero extra cost
     flip = (jax.random.bernoulli(r_mir, 0.5, (n,))
             if cfg.rand_mirror else None)

@@ -33,7 +33,7 @@ from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
 from resnet_tpu.config import DataConfig
-from resnet_tpu.ops.augment import sample_crop_boxes
+from resnet_tpu.ops.augment import sample_boxes_canvas
 
 
 def _aug_kernel(box_ref, img_ref, out_ref, *, src_hw, out_hw, mean, inv_std,
@@ -127,23 +127,24 @@ def fused_crop_mirror_normalize(
 def augment_imagenet_pallas(canvas_u8: jnp.ndarray, rng, cfg: DataConfig,
                             out_hw: Tuple[int, int] = (224, 224),
                             dtype=jnp.bfloat16,
-                            interpret: bool = False) -> jnp.ndarray:
+                            interpret: bool = False,
+                            dims: Optional[jnp.ndarray] = None
+                            ) -> jnp.ndarray:
     """Drop-in replacement for ops.augment.augment_imagenet (same RNG
-    stream, same semantics) with the fused Pallas kernel.
+    stream, same semantics, same box sampler) with the fused Pallas kernel.
 
     HSL jitter, when enabled, is applied by the XLA path on the cropped
     output (it is elementwise and XLA fuses it into the following cast).
     """
-    if cfg.max_rotate_angle > 0 or not cfg.rand_crop:
-        # rotation / center-crop variants only exist on the XLA path
+    if cfg.max_rotate_angle > 0:
+        # the rotation variant only exists on the XLA path
         from resnet_tpu.ops.augment import augment_imagenet
-        return augment_imagenet(canvas_u8, rng, cfg, out_hw, dtype)
+        return augment_imagenet(canvas_u8, rng, cfg, out_hw, dtype,
+                                dims=dims)
 
     n, hc, wc, _ = canvas_u8.shape
     r_box, r_mir, r_hsl = jax.random.split(rng, 3)
-    boxes = sample_crop_boxes(
-        r_box, n, hc, wc, cfg.min_random_area, cfg.max_random_area,
-        cfg.max_aspect_ratio)
+    boxes = sample_boxes_canvas(r_box, cfg, n, hc, wc, out_hw, dims)
     flip = (jax.random.bernoulli(r_mir, 0.5, (n,))
             if cfg.rand_mirror else None)
 

@@ -35,7 +35,7 @@ def _augment_fns(cfg: Config):
     dtype = jnp.bfloat16 if cfg.train.dtype == "bfloat16" else jnp.float32
     d = cfg.data
     if cfg.model.dataset == "cifar10":
-        train_fn = lambda imgs, rng: augment.augment_cifar(
+        train_fn = lambda imgs, rng, dims=None: augment.augment_cifar(
             imgs, rng, d, dtype)
         eval_fn = lambda imgs: augment.normalize(
             imgs, d.mean_rgb, d.std_rgb, dtype)
@@ -48,13 +48,13 @@ def _augment_fns(cfg: Config):
         if impl == "pallas":
             # measured bit-identical to the XLA path and ~10% faster on
             # v5e (PERF_NOTES.md); falls back internally for the
-            # rotation / center-crop variants
+            # rotation variant
             from resnet_tpu.ops.augment_pallas import augment_imagenet_pallas
-            train_fn = lambda imgs, rng: augment_imagenet_pallas(
-                imgs, rng, d, out_hw, dtype)
+            train_fn = lambda imgs, rng, dims=None: augment_imagenet_pallas(
+                imgs, rng, d, out_hw, dtype, dims=dims)
         else:
-            train_fn = lambda imgs, rng: augment.augment_imagenet(
-                imgs, rng, d, out_hw, dtype)
+            train_fn = lambda imgs, rng, dims=None: augment.augment_imagenet(
+                imgs, rng, d, out_hw, dtype, dims=dims)
         eval_fn = lambda imgs: (
             augment.eval_center_crop(imgs, d, out_hw, dtype)
             if imgs.shape[1:3] != tuple(out_hw)

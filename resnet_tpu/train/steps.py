@@ -51,7 +51,9 @@ def train_step(state: TrainState, batch, label_smooth: float = 0.0,
         rng = jax.random.fold_in(rng, state.step)
         if axis_name is not None:
             rng = jax.random.fold_in(rng, jax.lax.axis_index(axis_name))
-        images = augment_fn(images, rng)
+        # dims (N,4) ships per-image original sizes from the letterboxing
+        # record loader so the crop sampler sees the full image domain
+        images = augment_fn(images, rng, batch.get("dims"))
 
     def loss_fn(params):
         logits, mutated = state.apply_fn(

@@ -78,24 +78,121 @@ class TestCropResize:
                                    imgs[0].astype(np.float32), atol=1e-3)
 
 
+def oracle_rrc_boxes(u_area, u_ratio, u_y, u_x, src_h, src_w,
+                     min_area, max_area, lo, hi):
+    """Independent NumPy oracle of MXNet's random_resized_crop sampling
+    (mxnet src/io/image_aug_default.cc): per attempt area ~ U * H*W,
+    ratio ~ U[lo, hi], ROUNDED integer crop dims, first fitting attempt
+    wins, INTEGER uniform origins; fallback center short-side square."""
+    n, attempts = u_area.shape
+    y0 = np.empty(n)
+    x0 = np.empty(n)
+    ch = np.empty(n)
+    cw = np.empty(n)
+    for i in range(n):
+        H, W = float(src_h[i]), float(src_w[i])
+        for t in range(attempts):
+            area = (min_area + u_area[i, t] * (max_area - min_area)) * H * W
+            ratio = lo + u_ratio[i, t] * (hi - lo)
+            w = np.round(np.sqrt(area * ratio))
+            h = np.round(np.sqrt(area / ratio))
+            if 1 <= w <= W and 1 <= h <= H:
+                ch[i], cw[i] = h, w
+                y0[i] = min(np.floor(u_y[i, t] * (H - h + 1)), H - h)
+                x0[i] = min(np.floor(u_x[i, t] * (W - w + 1)), W - w)
+                break
+        else:
+            c = min(H, W)
+            ch[i] = cw[i] = c
+            y0[i] = np.floor((H - c) / 2)
+            x0[i] = np.floor((W - c) / 2)
+    return y0, x0, ch, cw
+
+
 class TestCropSampling:
-    def test_bounds(self):
+    def test_matches_mxnet_oracle(self):
+        """boxes_from_uniforms == the independent NumPy encoding of the
+        MXNet sampling rules, given identical uniform draws."""
+        rng = np.random.default_rng(0)
+        n, attempts = 256, 10
+        u = [rng.random((n, attempts)).astype(np.float32) for _ in range(4)]
+        # varied per-image dims, including extreme aspect ratios that
+        # force fallback
+        src_h = rng.integers(40, 600, n).astype(np.float32)
+        src_w = rng.integers(40, 600, n).astype(np.float32)
+        lo, hi = augment.aspect_range(0.25)
+        assert (lo, hi) == (0.75, 1.25)
+        got = augment.boxes_from_uniforms(
+            *(jnp.asarray(x) for x in u),
+            jnp.asarray(src_h), jnp.asarray(src_w), 0.08, 1.0, lo, hi)
+        want = oracle_rrc_boxes(*u, src_h, src_w, 0.08, 1.0, lo, hi)
+        for g, w in zip(got, want):
+            np.testing.assert_allclose(np.asarray(g), w, atol=1e-3)
+
+    def test_bounds_and_integrality(self):
+        src_h = jnp.full((512,), 300.0)
+        src_w = jnp.full((512,), 400.0)
         y0, x0, ch, cw = augment.sample_crop_boxes(
-            jax.random.key(0), 512, 256, 256, 0.08, 1.0, 4 / 3)
+            jax.random.key(0), src_h, src_w, 0.08, 1.0, 0.25)
         y0, x0, ch, cw = map(np.asarray, (y0, x0, ch, cw))
-        area = ch * cw / (256.0 * 256.0)
-        assert area.min() >= 0.05 and area.max() <= 1.001
+        # integer dims and origins (MXNet crops whole pixels)
+        for v in (y0, x0, ch, cw):
+            np.testing.assert_array_equal(v, np.round(v))
+        area = ch * cw / (300.0 * 400.0)
+        assert area.min() >= 0.06 and area.max() <= 1.01
         aspect = cw / ch
-        assert aspect.min() >= 3 / 4 - 1e-3 and aspect.max() <= 4 / 3 + 1e-3
-        assert (y0 >= -1e-3).all() and (y0 + ch <= 256 + 1e-3).all()
-        assert (x0 >= -1e-3).all() and (x0 + cw <= 256 + 1e-3).all()
+        assert aspect.min() >= 0.7 and aspect.max() <= 1.3
+        assert (y0 >= 0).all() and (y0 + ch <= 300).all()
+        assert (x0 >= 0).all() and (x0 + cw <= 400).all()
+        # full-image domain: crops reach both borders of the long axis
+        assert x0.min() < 40 and (x0 + cw).max() > 360
 
     def test_degenerate_full_crop(self):
-        """min_area=max_area=1, aspect=1 -> always the full square."""
+        """min_area=max_area=1, aspect jitter 0 -> the full square."""
+        s = jnp.full((16,), 32.0)
         y0, x0, ch, cw = augment.sample_crop_boxes(
-            jax.random.key(1), 16, 32, 32, 1.0, 1.0, 1.0)
+            jax.random.key(1), s, s, 1.0, 1.0, 0.0)
         np.testing.assert_allclose(np.asarray(ch), 32.0, atol=1e-4)
         np.testing.assert_allclose(np.asarray(cw), 32.0, atol=1e-4)
+
+    def test_scale_crop_semantics(self):
+        """Classic path: scale=1, no aspect -> short-side square crop at a
+        random integer position (resize-short-to-224 + rand-crop 224)."""
+        src_h = jnp.full((64,), 300.0)
+        src_w = jnp.full((64,), 400.0)
+        y0, x0, ch, cw = augment.sample_scale_crop_boxes(
+            jax.random.key(2), src_h, src_w, 1.0, 1.0, 0.0)
+        np.testing.assert_allclose(np.asarray(ch), 300.0)
+        np.testing.assert_allclose(np.asarray(cw), 300.0)
+        x0 = np.asarray(x0)
+        np.testing.assert_array_equal(x0, np.round(x0))
+        assert x0.min() >= 0 and (x0 + 300).max() <= 400
+        assert len(np.unique(x0)) > 10  # actually random
+
+    def test_aspect_range_conventions(self):
+        assert augment.aspect_range(0.25) == (0.75, 1.25)
+        assert augment.aspect_range(0.0) == (1.0, 1.0)
+        lo, hi = augment.aspect_range(4.0 / 3.0)   # legacy multiplicative
+        np.testing.assert_allclose((lo, hi), (0.75, 4.0 / 3.0))
+        assert augment.aspect_range(2.0, 0.5) == (0.5, 2.0)
+        with pytest.raises(ValueError):
+            augment.aspect_range(-0.1)
+        with pytest.raises(ValueError):
+            augment.aspect_range(0.5, 0.8)
+
+    def test_letterbox_dims_mapping(self):
+        """Boxes sampled in original space map onto the letterboxed canvas
+        by the per-image eff/orig scale (never exceeding the content)."""
+        cfg = DataConfig()
+        # image 400x600 letterboxed into 256: eff = (171, 256)
+        dims = jnp.asarray([[400, 600, 171, 256]] * 32, jnp.int32)
+        y0, x0, ch, cw = augment.sample_boxes_canvas(
+            jax.random.key(3), cfg, 32, 256, 256, (224, 224), dims)
+        y0, x0, ch, cw = map(np.asarray, (y0, x0, ch, cw))
+        assert (y0 >= 0).all() and (y0 + ch <= 171 + 1e-3).all()
+        assert (x0 >= 0).all() and (x0 + cw <= 256 + 1e-3).all()
+        # crops use the FULL content width, not a center square
+        assert (x0 + cw).max() > 200 and x0.min() < 30
 
 
 class TestHSL:
@@ -170,14 +267,26 @@ class TestPipelines:
             np.asarray(out[0]), imgs[0, 2:6, 2:6].astype(np.float32))
 
     def test_rand_crop_false_is_center_crop(self):
+        """rand_crop=False, no scale jitter: MXNet resizes the short side
+        to data_shape and center-crops — i.e. the short-side square box,
+        resized. For a square source that is the WHOLE image."""
         cfg = DataConfig(rand_crop=False, rand_mirror=False,
+                         random_h=0, random_s=0, random_l=0,
                          mean_rgb=(0, 0, 0), std_rgb=(1, 1, 1))
         imgs = np.arange(2 * 8 * 8 * 3, dtype=np.uint8).reshape(2, 8, 8, 3)
         out = augment.augment_imagenet(jnp.asarray(imgs), jax.random.key(0),
                                        cfg, (4, 4))
-        np.testing.assert_allclose(
-            np.asarray(out[0]), imgs[0, 2:6, 2:6].astype(np.float32),
-            atol=1e-2)
+        want = oracle_crop_resize(imgs[0].astype(np.float32),
+                                  0.0, 0.0, 8.0, 8.0, 4, 4)
+        np.testing.assert_allclose(np.asarray(out[0]), want, atol=1e-2)
+        # non-square source: center short-side square
+        dims = jnp.asarray([[8, 16, 8, 16], [8, 16, 8, 16]], jnp.int32)
+        wide = np.arange(2 * 8 * 16 * 3, dtype=np.uint8).reshape(2, 8, 16, 3)
+        out = augment.augment_imagenet(jnp.asarray(wide), jax.random.key(0),
+                                       cfg, (4, 4), dims=dims)
+        want = oracle_crop_resize(wide[0].astype(np.float32),
+                                  0.0, 4.0, 8.0, 8.0, 4, 4)
+        np.testing.assert_allclose(np.asarray(out[0]), want, atol=1e-2)
 
     def test_rotation_in_pipeline(self):
         cfg = DataConfig(max_rotate_angle=15.0)

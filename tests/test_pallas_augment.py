@@ -41,6 +41,27 @@ def test_fused_with_hsl_matches():
                                atol=5e-2, rtol=1e-4)
 
 
+def test_fused_with_letterbox_dims_matches():
+    """Both backends share sample_boxes_canvas: identical rng + dims must
+    give identical crops through the letterbox coordinate mapping."""
+    rng = np.random.default_rng(4)
+    canvas = np.zeros((3, 40, 40, 3), np.uint8)
+    # letterboxed content occupies (h_eff, w_eff) top-left
+    dims = np.array([[100, 200, 20, 40], [80, 80, 40, 40], [300, 150, 40, 20]],
+                    np.int32)
+    for i, (_, _, eh, ew) in enumerate(dims):
+        canvas[i, :eh, :ew] = rng.integers(0, 256, (eh, ew, 3), np.uint8)
+    key = jax.random.key(11)
+    cfg = DataConfig(random_h=0, random_s=0, random_l=0)
+    got = augment_imagenet_pallas(jnp.asarray(canvas), key, cfg, (32, 32),
+                                  jnp.float32, interpret=True,
+                                  dims=jnp.asarray(dims))
+    want = augment.augment_imagenet(jnp.asarray(canvas), key, cfg, (32, 32),
+                                    jnp.float32, dims=jnp.asarray(dims))
+    np.testing.assert_allclose(np.asarray(got), np.asarray(want),
+                               atol=5e-2, rtol=1e-4)
+
+
 def test_fused_mirror_and_normalize():
     rng = np.random.default_rng(2)
     canvas = rng.integers(0, 256, (2, 16, 16, 3), np.uint8)

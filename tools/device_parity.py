@@ -69,7 +69,8 @@ def main(argv=None):
         return 0
 
     from resnet_tpu.ops import augment
-    aug = lambda im, k: augment.augment_cifar(im, k, cfg.data, jnp.float32)
+    aug = lambda im, k, dims=None: augment.augment_cifar(im, k, cfg.data,
+                                                          jnp.float32)
 
     results = {}
     for name, dev in [("cpu", jax.devices("cpu")[0]), (accel.platform,
