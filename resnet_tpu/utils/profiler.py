@@ -5,9 +5,10 @@ SURVEY.md §5) maps to jax.profiler XPlane traces viewable in
 TensorBoard/Perfetto. Enable with env RESNET_TPU_PROFILE=<logdir> (the
 AUTOSTART analog) or the context manager / Solver hooks.
 
-Also provides a step-time breakdown helper used by bench.py to verify the
-<5% input-overhead target: it times the train step with device-resident
-data vs the full pipeline and reports the difference.
+Also provides ``input_overhead``, the step-time comparison used by
+tools/bench_input.py to MEASURE the <5% input-overhead target: the same
+train step timed with device-resident data vs fed through the full
+RecordIter -> prefetch -> H2D pipeline.
 """
 
 from __future__ import annotations
