@@ -49,6 +49,11 @@ def main():
                    help="include per-step host->device transfer")
     p.add_argument("--pool", type=int, default=4,
                    help="pre-staged device batch pool size")
+    p.add_argument("--unit-chain", choices=["off", "xla", "pallas"],
+                   default="off",
+                   help="chain dataflow for v1 bottleneck units")
+    p.add_argument("--grouped-dense", action="store_true",
+                   help="ResNeXt grouped 3x3 as block-diagonal dense conv")
     args = p.parse_args()
 
     import jax
@@ -64,6 +69,8 @@ def main():
     cfg.model.network = args.network
     cfg.model.depth = args.depth
     cfg.train.dtype = args.dtype
+    cfg.train.unit_chain = args.unit_chain
+    cfg.train.grouped_dense = args.grouped_dense
     if args.quick:
         cfg.model.depth = 18
         cfg.data.image_shape = (64, 64, 3)
@@ -133,6 +140,10 @@ def main():
         name += "_quick"
     if args.no_augment:
         name += "_noaug"
+    if args.unit_chain != "off":
+        name += f"_chain_{args.unit_chain}"
+    if args.grouped_dense:
+        name += "_gdense"
     if args.host_data:
         name += "_hostdata"
     print(json.dumps({

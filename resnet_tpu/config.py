@@ -100,6 +100,10 @@ class TrainConfig:
     dtype: str = "float32"            # float32 | bfloat16
     remat: bool = False               # memonger equivalent (jax.checkpoint)
     fused_convbn: bool = False        # Pallas 1x1-conv+BN-stats kernels
+    unit_chain: str = "off"           # off|xla|pallas: chain dataflow for
+                                      # v1 bottleneck units (models/chain.py)
+    grouped_dense: bool = False       # ResNeXt grouped 3x3 as block-diagonal
+                                      # dense conv (full MXU lane occupancy)
     label_smooth: float = 0.0
     seed: int = 0
     check_numerics: bool = False      # jax_debug_nans/infs (SURVEY §5: the
@@ -241,6 +245,13 @@ def build_parser() -> argparse.ArgumentParser:
                    help="gradient checkpointing (reference: --memonger)")
     p.add_argument("--fused-convbn", action="store_true", default=None,
                    help="Pallas fused 1x1-conv+BN-stats kernels")
+    p.add_argument("--unit-chain", choices=["off", "xla", "pallas"],
+                   default=None,
+                   help="chain dataflow for v1 bottleneck units: BN stats "
+                        "ride the 1x1 convs' MXU epilogues")
+    p.add_argument("--grouped-dense", action="store_true", default=None,
+                   help="lower ResNeXt grouped 3x3 convs as block-diagonal "
+                        "dense convs (full MXU lane occupancy)")
     p.add_argument("--check-numerics", action="store_true", default=None,
                    help="abort on NaN/Inf in any jitted computation")
     p.add_argument("--seed", type=int, default=None)
@@ -306,6 +317,8 @@ def config_from_args(args: argparse.Namespace) -> Config:
     if args.dtype is not None: t["dtype"] = args.dtype
     if args.remat: t["remat"] = True
     if args.fused_convbn: t["fused_convbn"] = True
+    if args.unit_chain is not None: t["unit_chain"] = args.unit_chain
+    if args.grouped_dense: t["grouped_dense"] = True
     if args.check_numerics: t["check_numerics"] = True
     if args.seed is not None: t["seed"] = args.seed
     if args.num_devices is not None: t["num_devices"] = args.num_devices

@@ -30,8 +30,10 @@ class _ConvKernel(nn.Module):
 
     @nn.compact
     def __call__(self, in_features: int):
+        # explicit f32 param dtype, matching nn.Conv's default param_dtype
+        # (initializers otherwise follow jax_enable_x64's default float)
         return self.param("kernel", conv_init,
-                          (1, 1, in_features, self.features))
+                          (1, 1, in_features, self.features), jnp.float32)
 
 
 class _BNState(nn.Module):

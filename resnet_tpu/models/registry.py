@@ -52,11 +52,15 @@ def model_spec(m: ModelConfig, num_classes: int):
 
 
 def get_model(cfg: Config, dtype: Any = None, remat: bool = None,
-              fused: bool = None, pallas_interpret: bool = False) -> ResNet:
+              fused: bool = None, unit_chain: str = None,
+              pallas_interpret: bool = False) -> ResNet:
     m = cfg.model
     units, filters, bottleneck, cifar = model_spec(m, cfg.data.num_classes)
     if fused is None:
         fused = getattr(cfg.train, "fused_convbn", False)
+    if unit_chain is None:
+        unit_chain = getattr(cfg.train, "unit_chain", "off")
+    grouped_dense = getattr(cfg.train, "grouped_dense", False)
     return ResNet(
         units=units,
         filters=filters,
@@ -71,5 +75,7 @@ def get_model(cfg: Config, dtype: Any = None, remat: bool = None,
         dtype=dtype if dtype is not None else _DTYPES[cfg.train.dtype],
         remat=cfg.train.remat if remat is None else remat,
         fused=fused,
+        unit_chain=unit_chain,
+        grouped_dense=grouped_dense,
         pallas_interpret=pallas_interpret,
     )

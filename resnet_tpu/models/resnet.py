@@ -93,6 +93,46 @@ class _Conv1x1Dot(nn.Module):
         return y.reshape(n, h, w, self.features)
 
 
+class _GroupedConvDense(nn.Module):
+    """Grouped conv lowered as a dense conv with a block-diagonal kernel.
+
+    Cardinality-G grouped convs (ResNeXt's 3x3, ref:symbol/resnext.py
+    num_group) feed the MXU Cmid/G channels per group — at G=32 that is 4
+    of 128 lanes (measured: ResNeXt-50 at 1583 img/s vs ResNet-50's 2549,
+    PERF_NOTES.md). Expanding the kernel to a dense block-diagonal
+    (Cin, Cout) matrix trades G-fold redundant FLOPs (free: the op is
+    bandwidth-bound at these shapes) for full lane occupancy. The zeros are
+    structural — gradients flow only to the real (kh, kw, Cin/G, Cout)
+    parameter, whose tree is IDENTICAL to nn.Conv(feature_group_count=G),
+    so checkpoints interchange and this is purely an execution switch.
+    """
+
+    features: int
+    kernel_size: Tuple[int, int]
+    strides: Tuple[int, int]
+    groups: int
+    padding: Any = "SAME"
+    dtype: Any = jnp.float32
+
+    @nn.compact
+    def __call__(self, x):
+        cin = x.shape[-1]
+        g = self.groups
+        cg, cog = cin // g, self.features // g
+        kh, kw = self.kernel_size
+        k = self.param("kernel", conv_init, (kh, kw, cg, self.features),
+                       jnp.float32)
+        k5 = k.reshape(kh, kw, cg, g, cog)
+        # place group j's (cg, cog) block at rows j*cg, cols j*cog
+        dense = jnp.einsum("hwcgo,gj->hwjcgo", k5,
+                           jnp.eye(g, dtype=k.dtype))
+        dense = dense.reshape(kh, kw, cin, self.features)
+        return jax.lax.conv_general_dilated(
+            x.astype(self.dtype), dense.astype(self.dtype),
+            window_strides=self.strides, padding=self.padding,
+            dimension_numbers=("NHWC", "HWIO", "NHWC"))
+
+
 def _conv_or_dot(features, kernel_size, strides=(1, 1), dtype=jnp.float32,
                  name=None, padding="SAME", feature_group_count=1):
     """nn.Conv drop-in that routes unit-kernel convs through _Conv1x1Dot."""
@@ -137,11 +177,27 @@ class ResidualUnit(nn.Module):
     bn_eps: float = 2e-5
     dtype: Any = jnp.float32
     fused: bool = False           # Pallas conv1x1+BN-stats path (v1 only)
+    unit_chain: str = "off"       # "off"|"xla"|"pallas": chain dataflow
+    grouped_dense: bool = False   # grouped 3x3 as block-diagonal dense conv
     pallas_interpret: bool = False
     conv1x1_as_dot: bool = False  # lower 1x1 convs as reshaped matmuls
 
     @nn.compact
     def __call__(self, x, train: bool):
+        # Chain dataflow (models/chain.py): stats/normalize ride the 1x1
+        # convs' MXU passes. Train-mode v1 bottleneck only; eval and other
+        # unit shapes take the standard path (identical param tree).
+        if (self.unit_chain != "off" and train and self.version == 1
+                and self.bottleneck and self.cardinality == 1):
+            from resnet_tpu.models.chain import chain_unit_v1
+            return chain_unit_v1(
+                x, filters=self.filters,
+                mid=self.mid_filters or self.filters // 4,
+                strides=self.strides, dim_match=self.dim_match,
+                conv_init=conv_init, bn_mom=self.bn_mom,
+                bn_eps=self.bn_eps, dtype=self.dtype,
+                backend=self.unit_chain,
+                interpret=self.pallas_interpret)
         conv = partial(nn.Conv, use_bias=False, kernel_init=conv_init,
                        dtype=self.dtype)
         if self.conv1x1_as_dot:
@@ -157,6 +213,18 @@ class ResidualUnit(nn.Module):
         else:
             mid = self.filters
 
+        def grouped3x3(y, strides):
+            """The ResNeXt 3x3: grouped conv, or its block-diagonal dense
+            lowering (--grouped-dense) — same `conv2/kernel` param tree."""
+            if self.cardinality > 1 and self.grouped_dense:
+                return _GroupedConvDense(
+                    features=mid, kernel_size=(3, 3), strides=strides,
+                    groups=self.cardinality, padding=((1, 1), (1, 1)),
+                    dtype=self.dtype, name="conv2")(y)
+            return conv(mid, (3, 3), strides, padding=((1, 1), (1, 1)),
+                        feature_group_count=self.cardinality,
+                        name="conv2")(y)
+
         if self.version == 2:
             # Pre-activation (He et al. 2016, Identity Mappings).
             pre = relu(bn("bn1")(x, use_running_average=ra))
@@ -165,8 +233,7 @@ class ResidualUnit(nn.Module):
             if self.bottleneck:
                 y = conv(mid, (1, 1), (1, 1), name="conv1")(pre)
                 y = relu(bn("bn2")(y, use_running_average=ra))
-                y = conv(mid, (3, 3), self.strides, padding=((1, 1), (1, 1)),
-                         feature_group_count=self.cardinality, name="conv2")(y)
+                y = grouped3x3(y, self.strides)
                 y = relu(bn("bn3")(y, use_running_average=ra))
                 y = conv(self.filters, (1, 1), (1, 1), name="conv3")(y)
             else:
@@ -207,8 +274,7 @@ class ResidualUnit(nn.Module):
         if self.bottleneck:
             y = conv(mid, (1, 1), (1, 1), name="conv1")(x)
             y = relu(bn("bn1")(y, use_running_average=ra))
-            y = conv(mid, (3, 3), self.strides, padding=((1, 1), (1, 1)),
-                     feature_group_count=self.cardinality, name="conv2")(y)
+            y = grouped3x3(y, self.strides)
             y = relu(bn("bn2")(y, use_running_average=ra))
             y = conv(self.filters, (1, 1), (1, 1), name="conv3")(y)
             y = bn("bn3")(y, use_running_average=ra)
@@ -244,6 +310,8 @@ class ResNet(nn.Module):
     dtype: Any = jnp.float32
     remat: bool = False
     fused: bool = False           # Pallas conv1x1+BN-stats path (v1 only)
+    unit_chain: str = "off"       # "off"|"xla"|"pallas": chain dataflow
+    grouped_dense: bool = False   # grouped 3x3 as block-diagonal dense conv
     pallas_interpret: bool = False
     conv1x1_as_dot: bool = False  # lower 1x1 convs as reshaped matmuls
 
@@ -305,6 +373,8 @@ class ResNet(nn.Module):
                     mid_filters=mid, bn_mom=self.bn_mom, bn_eps=self.bn_eps,
                     dtype=self.dtype,
                     fused=self.fused and self.version == 1,
+                    unit_chain=self.unit_chain,
+                    grouped_dense=self.grouped_dense,
                     pallas_interpret=self.pallas_interpret,
                     conv1x1_as_dot=self.conv1x1_as_dot,
                     name=f"stage{stage + 1}_unit{unit + 1}",

@@ -11,7 +11,15 @@ import pytest
 
 from resnet_tpu.ops import fused_unit as fu
 
-jax.config.update("jax_enable_x64", True)
+
+@pytest.fixture(autouse=True)
+def _x64():
+    # scoped, not module-level: a global jax_enable_x64 flip at import time
+    # leaks into every other test module in the session (param dtypes)
+    prev = jax.config.jax_enable_x64
+    jax.config.update("jax_enable_x64", True)
+    yield
+    jax.config.update("jax_enable_x64", prev)
 
 
 def _rand(shape, key, dtype=jnp.float64):
