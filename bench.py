@@ -54,11 +54,33 @@ def main():
                    help="chain dataflow for v1 bottleneck units")
     p.add_argument("--grouped-dense", action="store_true",
                    help="ResNeXt grouped 3x3 as block-diagonal dense conv")
+    p.add_argument("--bn-subsample", type=int, default=1,
+                   help="BN stats from batch//s leading images")
+    p.add_argument("--remat-policy", choices=["none", "conv"],
+                   default="none",
+                   help="selective remat: save conv outs + BN stats only")
+    p.add_argument("--xla-opts", default=None,
+                   help="k=v[,k=v] XLA compiler options; 'off' disables "
+                        "the measured TPU defaults (utils/xla_opts.py)")
+    p.add_argument("--dp-mode", choices=["none", "jit", "shard_map"],
+                   default="none",
+                   help="build the step over a device mesh (GSPMD jit = "
+                        "global-batch BN; shard_map = per-replica BN)")
     args = p.parse_args()
 
     import jax
+
+    # honor an explicit JAX_PLATFORMS request (the axon sitecustomize
+    # overrides the env var, so tests that want the CPU backend — e.g.
+    # the driver-contract test — would silently run on the TPU relay)
+    if os.environ.get("JAX_PLATFORMS"):
+        jax.config.update("jax_platforms", os.environ["JAX_PLATFORMS"])
+
     import jax.numpy as jnp
     import numpy as np
+
+    from resnet_tpu.utils.cache import enable_compile_cache
+    enable_compile_cache()
 
     from resnet_tpu.config import Config
     from resnet_tpu.ops import augment
@@ -71,6 +93,8 @@ def main():
     cfg.train.dtype = args.dtype
     cfg.train.unit_chain = args.unit_chain
     cfg.train.grouped_dense = args.grouped_dense
+    cfg.train.bn_subsample = args.bn_subsample
+    cfg.train.remat_policy = args.remat_policy
     if args.quick:
         cfg.model.depth = 18
         cfg.data.image_shape = (64, 64, 3)
@@ -94,8 +118,16 @@ def main():
                 imgs, rng, cfg.data, cfg.data.image_shape[:2], dtype,
                 dims=dims)
 
+    from resnet_tpu.utils.xla_opts import compiler_options
+    mesh = None
+    if args.dp_mode != "none":
+        from resnet_tpu.parallel.mesh import make_mesh
+        mesh = make_mesh(len(jax.devices()))
     state = create_train_state(cfg)
-    step_fn = make_train_step(mesh=None, augment_fn=aug_fn)
+    step_fn = make_train_step(
+        mesh=mesh, dp_mode=args.dp_mode if mesh is not None else "jit",
+        augment_fn=aug_fn,
+        compiler_options=compiler_options(args.xla_opts))
 
     h, w, c = cfg.data.image_shape
     rng = np.random.default_rng(0)
@@ -109,11 +141,15 @@ def main():
         # forced host readback — the only reliable sync on this backend
         return float(metrics["count"])
 
-    if args.host_data:
-        get_batch = lambda i: jax.device_put(
-            host_batches[i % args.pool])
+    if mesh is not None:
+        from resnet_tpu.parallel.mesh import shard_batch
+        put = lambda b: shard_batch(mesh, b)
     else:
-        pool = [jax.device_put(b) for b in host_batches]
+        put = jax.device_put
+    if args.host_data:
+        get_batch = lambda i: put(host_batches[i % args.pool])
+    else:
+        pool = [put(b) for b in host_batches]
         sync_pool = [jax.jit(lambda b: b["label"].sum())(b) for b in pool]
         _ = [float(x) for x in sync_pool]
         get_batch = lambda i: pool[i % args.pool]
@@ -130,10 +166,10 @@ def main():
     elapsed = time.perf_counter() - tic
 
     imgs_per_sec = args.steps * bs / elapsed
-    # the step is built with mesh=None (single-device jit): the whole batch
-    # runs on ONE chip regardless of how many the host exposes, so the
-    # per-chip figure divides by 1, not jax.device_count().
-    per_chip = imgs_per_sec
+    # default (mesh=None): single-device jit — the whole batch runs on ONE
+    # chip regardless of how many the host exposes, so divide by 1. With
+    # --dp-mode the step spans the whole mesh: divide by its size.
+    per_chip = imgs_per_sec / (1 if mesh is None else len(jax.devices()))
     baseline = 3000.0  # BASELINE.md: img/s/chip target, v5e, ResNet-50 bf16
     name = f"{cfg.model.network}{cfg.model.depth}_train_throughput"
     if args.quick:
@@ -144,6 +180,12 @@ def main():
         name += f"_chain_{args.unit_chain}"
     if args.grouped_dense:
         name += "_gdense"
+    if args.bn_subsample > 1:
+        name += f"_bnsub{args.bn_subsample}"
+    if args.remat_policy != "none":
+        name += f"_remat_{args.remat_policy}"
+    if args.dp_mode != "none":
+        name += f"_dp_{args.dp_mode}"
     if args.host_data:
         name += "_hostdata"
     print(json.dumps({

@@ -104,6 +104,15 @@ class TrainConfig:
                                       # v1 bottleneck units (models/chain.py)
     grouped_dense: bool = False       # ResNeXt grouped 3x3 as block-diagonal
                                       # dense conv (full MXU lane occupancy)
+    bn_subsample: int = 1             # BN stats from batch//s leading images
+                                      # (s=8 at batch 256 = the reference's
+                                      # per-GPU 32-image stats sample count)
+    remat_policy: str = "none"        # "none"|"conv": selective remat — save
+                                      # conv outs + BN stats, recompute the
+                                      # elementwise chain in backward
+    xla_opts: str = ""                # k=v[,k=v] XLA compiler options;
+                                      # "off" disables the measured TPU
+                                      # defaults (utils/xla_opts.py)
     label_smooth: float = 0.0
     seed: int = 0
     check_numerics: bool = False      # jax_debug_nans/infs (SURVEY §5: the
@@ -252,6 +261,15 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--grouped-dense", action="store_true", default=None,
                    help="lower ResNeXt grouped 3x3 convs as block-diagonal "
                         "dense convs (full MXU lane occupancy)")
+    p.add_argument("--bn-subsample", type=int, default=None,
+                   help="compute BN stats over batch//s leading images "
+                        "(reference parity: per-GPU BN sees batch//8)")
+    p.add_argument("--remat-policy", choices=["none", "conv"], default=None,
+                   help="selective remat: save conv outputs + BN stats, "
+                        "recompute normalize/relu in backward")
+    p.add_argument("--xla-opts", default=None,
+                   help="k=v[,k=v] XLA compiler options; 'off' disables "
+                        "the measured TPU defaults (utils/xla_opts.py)")
     p.add_argument("--check-numerics", action="store_true", default=None,
                    help="abort on NaN/Inf in any jitted computation")
     p.add_argument("--seed", type=int, default=None)
@@ -319,6 +337,9 @@ def config_from_args(args: argparse.Namespace) -> Config:
     if args.fused_convbn: t["fused_convbn"] = True
     if args.unit_chain is not None: t["unit_chain"] = args.unit_chain
     if args.grouped_dense: t["grouped_dense"] = True
+    if args.bn_subsample is not None: t["bn_subsample"] = args.bn_subsample
+    if args.remat_policy is not None: t["remat_policy"] = args.remat_policy
+    if args.xla_opts is not None: t["xla_opts"] = args.xla_opts
     if args.check_numerics: t["check_numerics"] = True
     if args.seed is not None: t["seed"] = args.seed
     if args.num_devices is not None: t["num_devices"] = args.num_devices

@@ -61,6 +61,8 @@ def get_model(cfg: Config, dtype: Any = None, remat: bool = None,
     if unit_chain is None:
         unit_chain = getattr(cfg.train, "unit_chain", "off")
     grouped_dense = getattr(cfg.train, "grouped_dense", False)
+    bn_subsample = getattr(cfg.train, "bn_subsample", 1)
+    remat_policy = getattr(cfg.train, "remat_policy", "none")
     return ResNet(
         units=units,
         filters=filters,
@@ -74,8 +76,10 @@ def get_model(cfg: Config, dtype: Any = None, remat: bool = None,
         bn_eps=m.bn_eps,
         dtype=dtype if dtype is not None else _DTYPES[cfg.train.dtype],
         remat=cfg.train.remat if remat is None else remat,
+        remat_policy=remat_policy,
         fused=fused,
         unit_chain=unit_chain,
         grouped_dense=grouped_dense,
+        bn_subsample=bn_subsample,
         pallas_interpret=pallas_interpret,
     )

@@ -144,16 +144,84 @@ def _conv_or_dot(features, kernel_size, strides=(1, 1), dtype=jnp.float32,
                    kernel_init=conv_init, dtype=dtype, name=name)
 
 
-def _norm(mom: float, eps: float, dtype, name: str, use_scale: bool = True):
+def _norm(mom: float, eps: float, dtype, name: str, use_scale: bool = True,
+          subsample: int = 1, tag_stats: bool = False):
     """BatchNorm matching MXNet semantics: momentum 0.9 EMA on running stats.
 
     MXNet ``BatchNorm(momentum=m)`` updates ``moving = m*moving + (1-m)*batch``
     — identical to flax's convention. ``use_scale=False`` emulates the
-    reference's ``fix_gamma=True``.
+    reference's ``fix_gamma=True``. ``subsample > 1`` computes batch
+    statistics over a leading sub-batch (SubsampleBatchNorm);
+    ``tag_stats`` marks the batch stats as remat-saveable (``bn_stats``
+    checkpoint name) so a selective-remat policy keeps the tiny per-channel
+    reductions instead of re-running full-activation sweeps in backward.
     """
+    if subsample > 1 or tag_stats:
+        return partial(
+            SubsampleBatchNorm, momentum=mom, epsilon=eps, dtype=dtype,
+            use_scale=use_scale, subsample=subsample, tag_stats=tag_stats,
+            name=name)
     return partial(
         nn.BatchNorm, momentum=mom, epsilon=eps, dtype=dtype,
         use_scale=use_scale, name=name)
+
+
+class SubsampleBatchNorm(nn.Module):
+    """BatchNorm whose train-mode statistics come from the first
+    ``batch // subsample`` images of the batch.
+
+    Parity rationale: the reference's BatchNorm is per-GPU — kvstore
+    'device' splits the global batch over the GPUs, so each BN layer's
+    statistics are computed from a (e.g.) 32-image sub-batch of the
+    256-image global batch (SURVEY.md §7 hard-part 3). On one chip,
+    ``subsample=8`` reproduces exactly that statistics sample count while
+    reading 1/8 of the activation bytes in the stats reduce — the fwd BN
+    sweeps were ~16 ms/step of the R50 HBM traffic (PERF_NOTES.md).
+    Normalization still covers the full batch; EMA/eval semantics are
+    identical to nn.BatchNorm. Param/variable tree identical.
+    """
+
+    momentum: float = 0.9
+    epsilon: float = 1e-5
+    dtype: Any = jnp.float32
+    use_scale: bool = True
+    subsample: int = 8
+    tag_stats: bool = False   # checkpoint_name the batch stats "bn_stats"
+
+    @nn.compact
+    def __call__(self, x, use_running_average: bool):
+        feat = x.shape[-1]
+        ra_mean = self.variable("batch_stats", "mean",
+                                nn.initializers.zeros, None, (feat,),
+                                jnp.float32)
+        ra_var = self.variable("batch_stats", "var",
+                               nn.initializers.ones, None, (feat,),
+                               jnp.float32)
+        scale = (self.param("scale", nn.initializers.ones, (feat,),
+                            jnp.float32) if self.use_scale else None)
+        bias = self.param("bias", nn.initializers.zeros, (feat,),
+                          jnp.float32)
+        if use_running_average:
+            mean, var = ra_mean.value, ra_var.value
+        else:
+            k = max(1, x.shape[0] // self.subsample)
+            xs = x[:k].astype(jnp.float32)
+            mean = jnp.mean(xs, axis=tuple(range(xs.ndim - 1)))
+            var = jnp.mean(
+                xs * xs, axis=tuple(range(xs.ndim - 1))) - mean * mean
+            if self.tag_stats:
+                from jax.ad_checkpoint import checkpoint_name
+                mean = checkpoint_name(mean, "bn_stats")
+                var = checkpoint_name(var, "bn_stats")
+            if not self.is_initializing():
+                m = self.momentum
+                ra_mean.value = m * ra_mean.value + (1 - m) * mean
+                ra_var.value = m * ra_var.value + (1 - m) * var
+        inv = jax.lax.rsqrt(var + self.epsilon)
+        if scale is not None:
+            inv = inv * scale
+        out = (x.astype(jnp.float32) - mean) * inv + bias
+        return out.astype(self.dtype)
 
 
 class ResidualUnit(nn.Module):
@@ -179,6 +247,9 @@ class ResidualUnit(nn.Module):
     fused: bool = False           # Pallas conv1x1+BN-stats path (v1 only)
     unit_chain: str = "off"       # "off"|"xla"|"pallas": chain dataflow
     grouped_dense: bool = False   # grouped 3x3 as block-diagonal dense conv
+    bn_subsample: int = 1         # BN stats from batch//s leading images
+    tag_remat: bool = False       # checkpoint_name conv outs / BN stats for
+                                  # the selective-remat policy (ResNet below)
     pallas_interpret: bool = False
     conv1x1_as_dot: bool = False  # lower 1x1 convs as reshaped matmuls
 
@@ -198,13 +269,21 @@ class ResidualUnit(nn.Module):
                 bn_eps=self.bn_eps, dtype=self.dtype,
                 backend=self.unit_chain,
                 interpret=self.pallas_interpret)
-        conv = partial(nn.Conv, use_bias=False, kernel_init=conv_init,
-                       dtype=self.dtype)
+        raw_conv = partial(nn.Conv, use_bias=False, kernel_init=conv_init,
+                           dtype=self.dtype)
         if self.conv1x1_as_dot:
-            conv = partial(_conv_or_dot, dtype=self.dtype)
+            raw_conv = partial(_conv_or_dot, dtype=self.dtype)
+        if self.tag_remat:
+            from jax.ad_checkpoint import checkpoint_name
+            tag = lambda y: checkpoint_name(y, "conv_out")
+        else:
+            tag = lambda y: y
+        # conv(...)(x) -> tagged output: under the selective-remat policy
+        # only these (+ BN stats) are saved; normalize/relu are recomputed
+        conv = lambda *a, **kw: (lambda x_: tag(raw_conv(*a, **kw)(x_)))
         bn = lambda name, scale=True: _norm(
-            self.bn_mom, self.bn_eps, self.dtype, name, scale)(
-        )
+            self.bn_mom, self.bn_eps, self.dtype, name, scale,
+            self.bn_subsample, self.tag_remat)()
         relu = nn.relu
         ra = not train
 
@@ -217,10 +296,10 @@ class ResidualUnit(nn.Module):
             """The ResNeXt 3x3: grouped conv, or its block-diagonal dense
             lowering (--grouped-dense) — same `conv2/kernel` param tree."""
             if self.cardinality > 1 and self.grouped_dense:
-                return _GroupedConvDense(
+                return tag(_GroupedConvDense(
                     features=mid, kernel_size=(3, 3), strides=strides,
                     groups=self.cardinality, padding=((1, 1), (1, 1)),
-                    dtype=self.dtype, name="conv2")(y)
+                    dtype=self.dtype, name="conv2")(y))
             return conv(mid, (3, 3), strides, padding=((1, 1), (1, 1)),
                         feature_group_count=self.cardinality,
                         name="conv2")(y)
@@ -309,9 +388,15 @@ class ResNet(nn.Module):
     bn_eps: float = 2e-5
     dtype: Any = jnp.float32
     remat: bool = False
+    remat_policy: str = "none"    # "none" | "conv": selective remat — save
+                                  # conv outputs + BN batch stats, recompute
+                                  # normalize/relu in backward (cuts the
+                                  # double-saved activation set; see
+                                  # PERF_NOTES.md)
     fused: bool = False           # Pallas conv1x1+BN-stats path (v1 only)
     unit_chain: str = "off"       # "off"|"xla"|"pallas": chain dataflow
     grouped_dense: bool = False   # grouped 3x3 as block-diagonal dense conv
+    bn_subsample: int = 1         # BN stats from batch//s leading images
     pallas_interpret: bool = False
     conv1x1_as_dot: bool = False  # lower 1x1 convs as reshaped matmuls
 
@@ -320,7 +405,8 @@ class ResNet(nn.Module):
         conv = partial(nn.Conv, use_bias=False, kernel_init=conv_init,
                        dtype=self.dtype)
         bn = lambda name, scale=True: _norm(
-            self.bn_mom, self.bn_eps, self.dtype, name, scale)()
+            self.bn_mom, self.bn_eps, self.dtype, name, scale,
+            self.bn_subsample)()
         ra = not train
 
         x = x.astype(self.dtype)
@@ -341,11 +427,21 @@ class ResNet(nn.Module):
                             padding=((1, 1), (1, 1)))
 
         unit_cls = ResidualUnit
+        tag_remat = self.remat_policy == "conv" and not self.remat
         if self.remat:
             # memonger parity: recompute unit activations in backward
             # (ref:core/memonger.py mirror_stage). static_argnums marks the
             # `train` python bool.
             unit_cls = nn.remat(ResidualUnit, static_argnums=(2,))
+        elif tag_remat:
+            # selective remat: keep conv outputs + per-channel BN stats,
+            # recompute the elementwise normalize/relu chain in backward —
+            # the fwd then materializes ONE tensor set per unit instead of
+            # two (conv outs AND post-activation residuals)
+            unit_cls = nn.remat(
+                ResidualUnit, static_argnums=(2,),
+                policy=jax.checkpoint_policies.save_only_these_names(
+                    "conv_out", "bn_stats"))
 
         for stage, (n_units, n_filter) in enumerate(
                 zip(self.units, self.filters[1:])):
@@ -375,6 +471,8 @@ class ResNet(nn.Module):
                     fused=self.fused and self.version == 1,
                     unit_chain=self.unit_chain,
                     grouped_dense=self.grouped_dense,
+                    bn_subsample=self.bn_subsample,
+                    tag_remat=tag_remat,
                     pallas_interpret=self.pallas_interpret,
                     conv1x1_as_dot=self.conv1x1_as_dot,
                     name=f"stage{stage + 1}_unit{unit + 1}",

@@ -48,6 +48,18 @@ def _acc_dtype(x):
     return jnp.float64 if x.dtype == jnp.float64 else jnp.float32
 
 
+def _bwd_fits_vmem(k: int, n: int, itemsize: int) -> bool:
+    """The one-pass backward keeps a (k, n) f32 dW block and a (n, k) W^T
+    block resident for the whole grid; past ~14MB (of the 16MB scoped-vmem
+    budget) even bm=128 streams don't fit. In R50 only the stage-4
+    projection shortcut (k=1024, n=2048) trips this — it takes the XLA
+    backward instead (its extra g-materialization is ~0.1 ms at that
+    op's small M)."""
+    fixed = 4 * k * n + k * n * itemsize
+    streams = 2 * 128 * (2 * n + 2 * k) * itemsize
+    return fixed + streams <= 14_000_000
+
+
 # ---------------------------------------------------------------------------
 # Forward kernel: [normalize -> relu ->] matmul -> (y, sum, sumsq)
 # ---------------------------------------------------------------------------
@@ -120,7 +132,7 @@ def _fwd_call(x, w, consts, *, relu, bm=512, bn=1024, interpret=False):
 # ---------------------------------------------------------------------------
 
 def _bwd_kernel(c_ref, gy_ref, y_ref, x_ref, wt_ref, dx_ref,
-                dw_ref, dg_ref, db_ref, dw_acc, *,
+                dw_ref, dg_ref, db_ref, *,
                 acc_dtype, normalize, relu, out_dtype):
     i = pl.program_id(0)
     gm = pl.num_programs(0)
@@ -142,11 +154,14 @@ def _bwd_kernel(c_ref, gy_ref, y_ref, x_ref, wt_ref, dx_ref,
     else:
         act = x
 
-    # dW accumulation across the M grid (sequential on TPU)
+    # dW accumulation across the M grid (sequential on TPU): the output
+    # block's index map is constant, so it stays VMEM-resident across the
+    # whole grid — accumulate into it directly (a separate scratch
+    # doubled VMEM use and OOMed the stage-4 shapes)
     @pl.when(i == 0)
     def _():
-        dw_acc[...] = jnp.zeros_like(dw_acc)
-    dw_acc[...] += jax.lax.dot_general(
+        dw_ref[...] = jnp.zeros_like(dw_ref)
+    dw_ref[...] += jax.lax.dot_general(
         act.astype(out_dtype), gb16,
         dimension_numbers=(((0,), (0,)), ((), ())),
         preferred_element_type=acc_dtype)
@@ -171,13 +186,8 @@ def _bwd_kernel(c_ref, gy_ref, y_ref, x_ref, wt_ref, dx_ref,
     else:
         dx_ref[...] = gact.astype(out_dtype)
         kb = x_ref.shape[1]
-        rows = jax.lax.broadcasted_iota(jnp.int32, (8, kb), 0)
         dg_ref[0] = jnp.zeros((8, kb), acc_dtype)
         db_ref[0] = jnp.zeros((8, kb), acc_dtype)
-
-    @pl.when(i == gm - 1)
-    def _():
-        dw_ref[...] = dw_acc[...]
 
 
 def _bwd_call(gy, gs, gss, y, x, w, consts4, *, relu, normalize,
@@ -187,6 +197,12 @@ def _bwd_call(gy, gs, gss, y, x, w, consts4, *, relu, normalize,
     Returns dx (M,K), dw (K,N) f32, dgamma (K,), dbeta (K,)."""
     m, k = x.shape
     _, n = w.shape
+    # keep the resident set under the ~16MB scoped-vmem budget: the
+    # (k, n) f32 dW block is fixed, the (bm, {n,k}) streams shrink with bm
+    itemsize = jnp.dtype(x.dtype).itemsize
+    while bm > 128 and (4 * k * n + n * k * itemsize
+                        + 2 * bm * (2 * n + 2 * k) * itemsize) > 12_000_000:
+        bm //= 2
     bm = _pick_block(m, bm)
     gm = m // bm
     acc = _acc_dtype(x)
@@ -231,7 +247,6 @@ def _bwd_call(gy, gs, gss, y, x, w, consts4, *, relu, normalize,
             jax.ShapeDtypeStruct((gm, 8, k), acc),
             jax.ShapeDtypeStruct((gm, 8, k), acc),
         ),
-        scratch_shapes=[pltpu.VMEM((k, n), acc)],
         interpret=interpret,
     )(consts, gy, y, x, wt)
     return dx, dw, jnp.sum(pdg, axis=(0, 1)), jnp.sum(pdb, axis=(0, 1))
@@ -265,7 +280,8 @@ def _matmul_stats_bwd(backend, interpret, res, cots):
     x, w, y = res
     gy, gs, gss = cots
     acc = _acc_dtype(x)
-    if backend == "pallas":
+    if backend == "pallas" and _bwd_fits_vmem(
+            x.shape[1], w.shape[1], jnp.dtype(x.dtype).itemsize):
         k = x.shape[1]
         zeros = jnp.zeros((k,), acc)
         dx, dw, _, _ = _bwd_call(
@@ -331,7 +347,8 @@ def _nrms_bwd(eps, relu, backend, interpret, res, cots):
     gy, gs, gss = cots
     acc = _acc_dtype(x)
     a, b, inv = _nrms_consts(mean, var, gamma, beta, eps, acc)
-    if backend == "pallas":
+    if backend == "pallas" and _bwd_fits_vmem(
+            x.shape[1], w.shape[1], jnp.dtype(x.dtype).itemsize):
         dx, dw, dgamma, dbeta = _bwd_call(
             gy, gs, gss, y, x, w,
             (a, b, inv, -mean.astype(acc) * inv),

@@ -86,8 +86,11 @@ class Solver:
                 "sync_bn requires --dp-mode jit (global-batch BN); "
                 "--dp-mode shard_map is per-replica BN like MXNet per-GPU")
         aug_fn, eval_fn = _augment_fns(cfg)
+        from resnet_tpu.utils.xla_opts import compiler_options
+        xla_opts = compiler_options(getattr(t, "xla_opts", None))
         self.train_step = make_train_step(
-            self.mesh, t.dp_mode, t.label_smooth, augment_fn=aug_fn)
+            self.mesh, t.dp_mode, t.label_smooth, augment_fn=aug_fn,
+            compiler_options=xla_opts)
         self.eval_step = make_eval_step(
             self.mesh, t.dp_mode, preprocess_fn=eval_fn)
         self.schedule = schedule_from_config(cfg)

@@ -97,24 +97,29 @@ def eval_step(state: TrainState, batch, axis_name: Optional[str] = None,
 
 def make_train_step(mesh: Optional[Mesh] = None, dp_mode: str = "jit",
                     label_smooth: float = 0.0,
-                    augment_fn: Optional[Callable] = None) -> Callable:
+                    augment_fn: Optional[Callable] = None,
+                    compiler_options: Optional[dict] = None) -> Callable:
     """Compile the train step for the given mesh/mode.
 
     Returns ``f(state, batch) -> (state, metrics)`` with the state donated
     (in-place HBM update, like MXNet's mutable NDArray weights but checked
     by XLA aliasing instead of engine var-sequencing).
+    ``compiler_options`` are per-program XLA overrides (utils/xla_opts.py
+    supplies the measured TPU defaults, e.g. the scoped-VMEM fusion budget).
     """
+    co = compiler_options or None
     if mesh is None:
         fn = partial(train_step, label_smooth=label_smooth,
                      augment_fn=augment_fn)
-        return jax.jit(fn, donate_argnums=0)
+        return jax.jit(fn, donate_argnums=0, compiler_options=co)
 
     if dp_mode == "jit":
         fn = partial(train_step, label_smooth=label_smooth,
                      augment_fn=augment_fn)
         repl, shard = replicated(mesh), batch_sharded(mesh)
         return jax.jit(fn, in_shardings=(repl, shard),
-                       out_shardings=(repl, repl), donate_argnums=0)
+                       out_shardings=(repl, repl), donate_argnums=0,
+                       compiler_options=co)
 
     if dp_mode == "shard_map":
         fn = partial(train_step, label_smooth=label_smooth,
@@ -124,7 +129,7 @@ def make_train_step(mesh: Optional[Mesh] = None, dp_mode: str = "jit",
             in_specs=(P(), P(DATA_AXIS)),
             out_specs=(P(), P()),
             check_vma=False)
-        return jax.jit(smapped, donate_argnums=0)
+        return jax.jit(smapped, donate_argnums=0, compiler_options=co)
 
     raise ValueError(f"unknown dp_mode {dp_mode!r}")
 

@@ -409,3 +409,83 @@ class TestMemoryIter:
         batches = list(it.epoch_iter(0))
         assert len(batches) == 3
         assert batches[0]["image"].shape == (4, 8, 8, 3)
+
+
+class TestValTransformParity:
+    """The val pipeline must equal the reference's resize-256/crop-224:
+    shorter-side resize to 8/7*out (loader, letterbox=False) composed with
+    the on-device center crop (ops/augment.eval_center_crop) == resize
+    shorter side to 256 + center crop 224 directly (the MXNet val
+    ImageRecordIter transform — SURVEY.md §2a loader row)."""
+
+    def _oracle(self, arr, canvas=256, out=224):
+        from PIL import Image
+        ih, iw = arr.shape[:2]
+        scale = canvas / min(ih, iw)
+        rw = max(canvas, round(iw * scale))
+        rh = max(canvas, round(ih * scale))
+        img = Image.fromarray(arr).resize((rw, rh), Image.BILINEAR)
+        full = np.asarray(img)
+        y0, x0 = (rh - out) // 2, (rw - out) // 2
+        return full[y0:y0 + out, x0:x0 + out]
+
+    @pytest.fixture(scope="class")
+    def tall_jpeg_rec(self, tmp_path_factory):
+        from PIL import Image
+        root = tmp_path_factory.mktemp("val")
+        rng = np.random.default_rng(7)
+        # non-square both ways: crop distribution differs from a square
+        # canvas if the resize rule is wrong
+        arrs = []
+        for i, (h, w) in enumerate([(300, 420), (400, 280)]):
+            y = np.linspace(0, 255, h, dtype=np.float32)[:, None, None]
+            x = np.linspace(0, 255, w, dtype=np.float32)[None, :, None]
+            arr = np.clip(y * 0.5 + x * 0.5
+                          + rng.normal(0, 8, (h, w, 3)), 0, 255)
+            arr = arr.astype(np.uint8)
+            arrs.append(arr)
+            Image.fromarray(arr).save(root / f"im{i}.jpg", quality=98)
+        rec = str(root / "val.rec")
+        with rio.RecordIOWriter(rec) as wtr:
+            for i in range(2):
+                wtr.write(rio.pack_image_record(
+                    (root / f"im{i}.jpg").read_bytes(), label=float(i)))
+        # decode the JPEGs back so the oracle sees the same pixels the
+        # loaders decode (JPEG is lossy)
+        from PIL import Image as I
+        decoded = [np.asarray(I.open(root / f"im{i}.jpg").convert("RGB"))
+                   for i in range(2)]
+        return rec, decoded
+
+    def _check(self, loader_cls, rec, decoded, tol_mean, tol_frac):
+        import jax.numpy as jnp
+
+        from resnet_tpu.config import DataConfig
+        from resnet_tpu.ops.augment import eval_center_crop
+
+        loader = loader_cls(rec, None, (256, 256), letterbox=False)
+        loader.begin_epoch(0, False, 0)
+        images, labels, _ = loader.next_batch(2)
+        cfg = DataConfig(mean_rgb=(0.0, 0.0, 0.0), std_rgb=(1.0, 1.0, 1.0))
+        out = np.asarray(eval_center_crop(jnp.asarray(images), cfg,
+                                          (224, 224)))
+        for i in range(2):
+            want = self._oracle(decoded[int(labels[i])]).astype(np.float32)
+            diff = np.abs(out[i] - want)
+            assert diff.mean() < tol_mean, diff.mean()
+            assert (diff <= 16).mean() > tol_frac, (diff > 16).mean()
+
+    def test_python_loader_matches_oracle(self, tall_jpeg_rec):
+        from resnet_tpu.data.native import PythonRecordLoader
+        rec, decoded = tall_jpeg_rec
+        # PIL both sides: pixel-exact up to the crop composition
+        self._check(PythonRecordLoader, rec, decoded, 0.01, 1.0 - 1e-9)
+
+    def test_native_loader_matches_oracle(self, tall_jpeg_rec):
+        from resnet_tpu.data.native import (NativeRecordLoader,
+                                            NativeUnavailable)
+        rec, decoded = tall_jpeg_rec
+        try:
+            self._check(NativeRecordLoader, rec, decoded, 1.5, 0.999)
+        except NativeUnavailable:
+            pytest.skip("native loader unavailable")

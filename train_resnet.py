@@ -24,6 +24,8 @@ def main(argv=None):
     from resnet_tpu.train.solver import Solver
 
     cfg = parse_config(argv)
+    from resnet_tpu.utils.cache import enable_compile_cache
+    enable_compile_cache()
     if cfg.train.check_numerics:
         import jax
         jax.config.update("jax_debug_nans", True)
