@@ -54,8 +54,14 @@ def main():
                    help="chain dataflow for v1 bottleneck units")
     p.add_argument("--grouped-dense", action="store_true",
                    help="ResNeXt grouped 3x3 as block-diagonal dense conv")
-    p.add_argument("--bn-subsample", type=int, default=1,
-                   help="BN stats from batch//s leading images")
+    p.add_argument("--grouped-merge", type=int, default=0,
+                   help="groups fused per dense block (0 = all)")
+    p.add_argument("--bn-subsample", type=int, default=8,
+                   help="BN stats from batch//s leading images; the "
+                        "default 8 at batch 256 reproduces the reference's "
+                        "per-GPU 32-image BN stats sample (bs256 over 8 "
+                        "GPUs) and measures ~3%% faster than full-batch "
+                        "stats; pass 1 for sync-BN-style full-batch stats")
     p.add_argument("--remat-policy", choices=["none", "conv"],
                    default="none",
                    help="selective remat: save conv outs + BN stats only")
@@ -93,6 +99,7 @@ def main():
     cfg.train.dtype = args.dtype
     cfg.train.unit_chain = args.unit_chain
     cfg.train.grouped_dense = args.grouped_dense
+    cfg.train.grouped_merge = args.grouped_merge
     cfg.train.bn_subsample = args.bn_subsample
     cfg.train.remat_policy = args.remat_policy
     if args.quick:
@@ -180,6 +187,8 @@ def main():
         name += f"_chain_{args.unit_chain}"
     if args.grouped_dense:
         name += "_gdense"
+        if args.grouped_merge:
+            name += f"{args.grouped_merge}"
     if args.bn_subsample > 1:
         name += f"_bnsub{args.bn_subsample}"
     if args.remat_policy != "none":

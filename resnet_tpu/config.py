@@ -104,6 +104,8 @@ class TrainConfig:
                                       # v1 bottleneck units (models/chain.py)
     grouped_dense: bool = False       # ResNeXt grouped 3x3 as block-diagonal
                                       # dense conv (full MXU lane occupancy)
+    grouped_merge: int = 0            # groups fused per dense block
+                                      # (0 = all -> fully dense)
     bn_subsample: int = 1             # BN stats from batch//s leading images
                                       # (s=8 at batch 256 = the reference's
                                       # per-GPU 32-image stats sample count)
@@ -261,6 +263,9 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--grouped-dense", action="store_true", default=None,
                    help="lower ResNeXt grouped 3x3 convs as block-diagonal "
                         "dense convs (full MXU lane occupancy)")
+    p.add_argument("--grouped-merge", type=int, default=None,
+                   help="with --grouped-dense: fuse this many groups per "
+                        "dense block (0 = all)")
     p.add_argument("--bn-subsample", type=int, default=None,
                    help="compute BN stats over batch//s leading images "
                         "(reference parity: per-GPU BN sees batch//8)")
@@ -337,6 +342,7 @@ def config_from_args(args: argparse.Namespace) -> Config:
     if args.fused_convbn: t["fused_convbn"] = True
     if args.unit_chain is not None: t["unit_chain"] = args.unit_chain
     if args.grouped_dense: t["grouped_dense"] = True
+    if args.grouped_merge is not None: t["grouped_merge"] = args.grouped_merge
     if args.bn_subsample is not None: t["bn_subsample"] = args.bn_subsample
     if args.remat_policy is not None: t["remat_policy"] = args.remat_policy
     if args.xla_opts is not None: t["xla_opts"] = args.xla_opts

@@ -61,6 +61,7 @@ def get_model(cfg: Config, dtype: Any = None, remat: bool = None,
     if unit_chain is None:
         unit_chain = getattr(cfg.train, "unit_chain", "off")
     grouped_dense = getattr(cfg.train, "grouped_dense", False)
+    grouped_merge = getattr(cfg.train, "grouped_merge", 0)
     bn_subsample = getattr(cfg.train, "bn_subsample", 1)
     remat_policy = getattr(cfg.train, "remat_policy", "none")
     return ResNet(
@@ -80,6 +81,7 @@ def get_model(cfg: Config, dtype: Any = None, remat: bool = None,
         fused=fused,
         unit_chain=unit_chain,
         grouped_dense=grouped_dense,
+        grouped_merge=grouped_merge,
         bn_subsample=bn_subsample,
         pallas_interpret=pallas_interpret,
     )

@@ -94,23 +94,26 @@ class _Conv1x1Dot(nn.Module):
 
 
 class _GroupedConvDense(nn.Module):
-    """Grouped conv lowered as a dense conv with a block-diagonal kernel.
+    """Grouped conv lowered with ``merge`` groups fused per dense block.
 
     Cardinality-G grouped convs (ResNeXt's 3x3, ref:symbol/resnext.py
     num_group) feed the MXU Cmid/G channels per group — at G=32 that is 4
-    of 128 lanes (measured: ResNeXt-50 at 1583 img/s vs ResNet-50's 2549,
-    PERF_NOTES.md). Expanding the kernel to a dense block-diagonal
-    (Cin, Cout) matrix trades G-fold redundant FLOPs (free: the op is
-    bandwidth-bound at these shapes) for full lane occupancy. The zeros are
-    structural — gradients flow only to the real (kh, kw, Cin/G, Cout)
-    parameter, whose tree is IDENTICAL to nn.Conv(feature_group_count=G),
-    so checkpoints interchange and this is purely an execution switch.
+    of 128 lanes (measured: ResNeXt-50 at ~1570 img/s vs ResNet-50's
+    2549, PERF_NOTES.md). Fusing ``merge`` adjacent groups into one
+    block-diagonal dense block trades merge-fold redundant FLOPs for
+    merge*width MXU lanes; ``merge=G`` is the fully dense lowering
+    (measured: full merge LOSES — 32x FLOPs stops being free — so the
+    sweet spot, if any, is a partial merge). The zeros are structural —
+    gradients flow only to the real (kh, kw, Cin/G, Cout) parameter,
+    whose tree is IDENTICAL to nn.Conv(feature_group_count=G), so
+    checkpoints interchange and this is purely an execution switch.
     """
 
     features: int
     kernel_size: Tuple[int, int]
     strides: Tuple[int, int]
     groups: int
+    merge: int = 0                 # groups fused per block; 0/G = dense
     padding: Any = "SAME"
     dtype: Any = jnp.float32
 
@@ -118,18 +121,29 @@ class _GroupedConvDense(nn.Module):
     def __call__(self, x):
         cin = x.shape[-1]
         g = self.groups
+        f = self.merge or g
+        assert g % f == 0, (g, f)
+        go = g // f                     # outer (true) groups after merge
         cg, cog = cin // g, self.features // g
         kh, kw = self.kernel_size
         k = self.param("kernel", conv_init, (kh, kw, cg, self.features),
                        jnp.float32)
-        k5 = k.reshape(kh, kw, cg, g, cog)
-        # place group j's (cg, cog) block at rows j*cg, cols j*cog
-        dense = jnp.einsum("hwcgo,gj->hwjcgo", k5,
-                           jnp.eye(g, dtype=k.dtype))
-        dense = dense.reshape(kh, kw, cin, self.features)
+        # k6[h,w,c,j,m,o]: inner group m of outer group j (channel layout
+        # is contiguous per original group index jf+m)
+        k6 = k.reshape(kh, kw, cg, go, f, cog)
+        # block-diagonal within each outer group: input slot n == inner
+        # group m, else zero
+        dense = jnp.einsum("hwcjmo,nm->hwncjmo", k6,
+                           jnp.eye(f, dtype=k.dtype))
+        # lax grouped-conv kernel layout: (kh, kw, Cin/go, features) with
+        # per-group input dims ordered (n, c) and outputs ordered (j, m, o)
+        # — the einsum output axes (h,w,n,c,j,m,o) are already in that
+        # order, so a straight reshape flattens correctly
+        dense = dense.reshape(kh, kw, f * cg, self.features)
         return jax.lax.conv_general_dilated(
             x.astype(self.dtype), dense.astype(self.dtype),
             window_strides=self.strides, padding=self.padding,
+            feature_group_count=go,
             dimension_numbers=("NHWC", "HWIO", "NHWC"))
 
 
@@ -247,6 +261,7 @@ class ResidualUnit(nn.Module):
     fused: bool = False           # Pallas conv1x1+BN-stats path (v1 only)
     unit_chain: str = "off"       # "off"|"xla"|"pallas": chain dataflow
     grouped_dense: bool = False   # grouped 3x3 as block-diagonal dense conv
+    grouped_merge: int = 0        # groups fused per dense block (0 = all)
     bn_subsample: int = 1         # BN stats from batch//s leading images
     tag_remat: bool = False       # checkpoint_name conv outs / BN stats for
                                   # the selective-remat policy (ResNet below)
@@ -298,7 +313,8 @@ class ResidualUnit(nn.Module):
             if self.cardinality > 1 and self.grouped_dense:
                 return tag(_GroupedConvDense(
                     features=mid, kernel_size=(3, 3), strides=strides,
-                    groups=self.cardinality, padding=((1, 1), (1, 1)),
+                    groups=self.cardinality, merge=self.grouped_merge,
+                    padding=((1, 1), (1, 1)),
                     dtype=self.dtype, name="conv2")(y))
             return conv(mid, (3, 3), strides, padding=((1, 1), (1, 1)),
                         feature_group_count=self.cardinality,
@@ -396,6 +412,7 @@ class ResNet(nn.Module):
     fused: bool = False           # Pallas conv1x1+BN-stats path (v1 only)
     unit_chain: str = "off"       # "off"|"xla"|"pallas": chain dataflow
     grouped_dense: bool = False   # grouped 3x3 as block-diagonal dense conv
+    grouped_merge: int = 0        # groups fused per dense block (0 = all)
     bn_subsample: int = 1         # BN stats from batch//s leading images
     pallas_interpret: bool = False
     conv1x1_as_dot: bool = False  # lower 1x1 convs as reshaped matmuls
@@ -471,6 +488,7 @@ class ResNet(nn.Module):
                     fused=self.fused and self.version == 1,
                     unit_chain=self.unit_chain,
                     grouped_dense=self.grouped_dense,
+                    grouped_merge=self.grouped_merge,
                     bn_subsample=self.bn_subsample,
                     tag_remat=tag_remat,
                     pallas_interpret=self.pallas_interpret,

@@ -1,26 +1,25 @@
 """Per-program XLA compiler options (the TPU fusion-budget tuning channel).
 
-The one knob measured to matter on this model is the scoped-VMEM budget:
-XLA:TPU's fusion sizing defaults to a conservative ~16 MB of scoped VMEM
-per fusion, which splits the ResNet BN-stats/normalize/conv chains into
-separate HBM sweeps. Raising it to 96 MB (of the v5e's 128 MB VMEM) lets
-the fusion cost model keep those chains resident: XLA cost analysis drops
-from 80.5 GB to 71.4 GB bytes-accessed on the R50-bs256-bf16 train step,
-and measured step time follows (PERF_NOTES.md round-2 table).
-
 ``LIBTPU_INIT_ARGS`` is NOT a usable channel on this backend (flags
 partially ignored by the remote compile service — PERF_NOTES.md); per-jit
 ``compiler_options`` is, so every entry point routes through here.
+
+Measured caution (PERF_NOTES.md round-2 table): raising
+``xla_tpu_scoped_vmem_limit_kib`` (64/96 MB of the v5e's 128 MB VMEM)
+IMPROVES the cost model (80.5 -> 73.8/71.4 GB bytes-accessed on the
+R50-bs256-bf16 train step) but REGRESSES measured throughput 4-6% — the
+deeper fusions schedule worse than the default 16 MB budget's pipeline.
+The cost model is a screening tool, not a verdict; TPU_DEFAULTS therefore
+stays empty until a knob wins on the clock.
 """
 
 from __future__ import annotations
 
 from typing import Dict, Optional
 
-# Measured on v5e (tools/cost_probe.py + bench.py, see PERF_NOTES.md).
-TPU_DEFAULTS = {
-    "xla_tpu_scoped_vmem_limit_kib": "98304",
-}
+# No default overrides: every candidate measured so far loses on the clock
+# (see module docstring). --xla-opts remains the experiment channel.
+TPU_DEFAULTS: Dict[str, str] = {}
 
 
 def parse_opts(spec: str) -> Dict[str, str]:

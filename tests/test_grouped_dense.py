@@ -36,6 +36,25 @@ class TestGroupedDense:
         np.testing.assert_allclose(np.asarray(got), np.asarray(want),
                                    rtol=1e-5, atol=1e-5)
 
+    @pytest.mark.parametrize("merge", [1, 2, 4])
+    def test_partial_merge_matches_grouped_conv(self, merge):
+        """merge groups per dense block (feature_group_count = G/merge)."""
+        x = jax.random.normal(jax.random.key(8), (2, 8, 8, 32))
+        dense = _GroupedConvDense(features=32, kernel_size=(3, 3),
+                                  strides=(1, 1), groups=8, merge=merge,
+                                  padding=((1, 1), (1, 1)))
+        ref = nn.Conv(32, (3, 3), (1, 1), padding=((1, 1), (1, 1)),
+                      feature_group_count=8, use_bias=False)
+        v = dense.init(jax.random.key(9), x)
+        np.testing.assert_allclose(np.asarray(dense.apply(v, x)),
+                                   np.asarray(ref.apply(v, x)),
+                                   rtol=1e-5, atol=1e-5)
+        gd = jax.grad(lambda p: jnp.sum(dense.apply(p, x) ** 2))(v)
+        gr = jax.grad(lambda p: jnp.sum(ref.apply(p, x) ** 2))(v)
+        np.testing.assert_allclose(np.asarray(gd["params"]["kernel"]),
+                                   np.asarray(gr["params"]["kernel"]),
+                                   rtol=1e-4, atol=1e-5)
+
     def test_strided(self):
         x = jax.random.normal(jax.random.key(2), (2, 8, 8, 16))
         dense = _GroupedConvDense(features=16, kernel_size=(3, 3),

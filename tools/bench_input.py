@@ -86,6 +86,11 @@ def main():
     p.add_argument("--image-size", type=int, default=224)
     p.add_argument("--steps", type=int, default=0,
                    help="timed steps per leg (0 = one epoch's worth)")
+    p.add_argument("--dtype", choices=["auto", "float32", "bfloat16"],
+                   default="auto",
+                   help="compute dtype; float32 slows the device leg so "
+                        "the 1-core decode pool can feed it (overhead "
+                        "demo needs decode_rate > step_rate * batch)")
     p.add_argument("--quick", action="store_true",
                    help="tiny model/shapes for CPU smoke-testing")
     p.add_argument("--decode-only", action="store_true",
@@ -137,8 +142,8 @@ def main():
         cfg.data.image_shape = (args.image_size, args.image_size, 3)
         cfg.data.preprocess_threads = args.threads
         cfg.train.batch_size = args.batch_size
-        cfg.train.dtype = ("bfloat16"
-                           if jax.default_backend() == "tpu" else "float32")
+        cfg.train.dtype = args.dtype if args.dtype != "auto" else (
+            "bfloat16" if jax.default_backend() == "tpu" else "float32")
         import jax.numpy as jnp
         dtype = jnp.bfloat16 if cfg.train.dtype == "bfloat16" \
             else jnp.float32

@@ -5,13 +5,16 @@ training on the CPU backend and on the accelerator and compares.
 
 What is compared and why:
   - single-step loss (tight tolerance): forward-path correctness;
+  - single-step PARAM DELTAS, pointwise (per-leaf max abs diff relative to
+    the leaf's own delta scale): the backward pass + optimizer, before
+    chaos can compound — this is the deterministic pointwise gate;
   - after N full SGD steps, BOTH backends must have reduced the loss below
     a fraction of the initial value (learning-dynamics equivalence).
-Pointwise trajectory/gradient comparisons are deliberately NOT gated:
+Pointwise MULTI-step trajectory comparisons are deliberately NOT gated:
 measured on this setup, a 1e-6 init perturbation on the SAME backend
 yields a 0.83 relative loss difference after 20 steps (chaos through ReLU
 kinks), indistinguishable from the 0.87 cross-backend difference — so
-pointwise equality carries no signal. Exact math parity is separately
+trajectory equality carries no signal. Exact math parity is separately
 proven in f64 by tests/test_fused_convbn.py.
 
     python tools/device_parity.py [--depth 20] [--steps 20]
@@ -33,6 +36,17 @@ def main(argv=None):
     p.add_argument("--batch", type=int, default=16)
     p.add_argument("--steps", type=int, default=60)
     p.add_argument("--loss-atol", type=float, default=5e-3)
+    p.add_argument("--delta-rtol", type=float, default=2e-2,
+                   help="gate on max |d_cpu - d_accel| / max|d_cpu| per "
+                        "param leaf, d = one-step param delta")
+    p.add_argument("--precision", choices=["float32", "default"],
+                   default="float32",
+                   help="jax matmul precision for the comparison. The gate "
+                        "only means 'same math' at matched precision: TPU "
+                        "'f32' convs default to bf16-input passes, which "
+                        "alone moves small-magnitude BN-scale deltas by "
+                        "~0.5 rel after one step (measured) — that is a "
+                        "precision choice, not a math bug")
     p.add_argument("--learn-frac", type=float, default=0.5,
                    help="final loss must be below this fraction of initial")
     args = p.parse_args(argv)
@@ -40,6 +54,9 @@ def main(argv=None):
     import jax
     import jax.numpy as jnp
     import numpy as np
+
+    if args.precision == "float32":
+        jax.config.update("jax_default_matmul_precision", "float32")
 
     from resnet_tpu.config import Config
     from resnet_tpu.data.loader import synthetic_cifar
@@ -73,16 +90,24 @@ def main(argv=None):
                                                           jnp.float32)
 
     results = {}
+    deltas = {}
     for name, dev in [("cpu", jax.devices("cpu")[0]), (accel.platform,
                                                        accel)]:
         with jax.default_device(dev):
             state = create_train_state(cfg)
             state = jax.device_put(state, dev)
+            params0 = jax.tree.map(np.asarray, state.params)
             step = make_train_step(mesh=None, augment_fn=aug)
             losses = []
             for i in range(args.steps):
                 b = jax.device_put(batches[i % 4], dev)
                 state, metrics = step(state, b)
+                if i == 0:
+                    # one-step param delta = the whole bwd+optimizer path,
+                    # captured before chaos can compound
+                    deltas[name] = jax.tree.map(
+                        lambda a, b_: np.asarray(a) - b_,
+                        state.params, params0)
                 losses.append(float(metrics["loss_sum"])
                               / float(metrics["count"]))
             results[name] = losses
@@ -91,16 +116,29 @@ def main(argv=None):
 
     c, t = results["cpu"], results[accel.platform]
     first_ok = abs(c[0] - t[0]) < args.loss_atol
+    worst = 0.0
+    worst_path = None
+    flat_c = jax.tree_util.tree_flatten_with_path(deltas["cpu"])[0]
+    flat_t = jax.tree.leaves(deltas[accel.platform])
+    for (path, dc), dt in zip(flat_c, flat_t):
+        scale = np.abs(dc).max() + 1e-12
+        rel = float(np.abs(dc - dt).max() / scale)
+        if rel > worst:
+            worst, worst_path = rel, jax.tree_util.keystr(path)
+    delta_ok = worst < args.delta_rtol
+    print(f"one-step param-delta max rel diff {worst:.2e} at "
+          f"{worst_path} (gate {args.delta_rtol})")
     # average over the tail to damp batch-to-batch noise
     tail = max(1, args.steps // 5)
     c_end = sum(c[-tail:]) / tail
     t_end = sum(t[-tail:]) / tail
     learn_ok = (c_end < args.learn_frac * c[0]
                 and t_end < args.learn_frac * t[0])
-    ok = first_ok and learn_ok
+    ok = first_ok and learn_ok and delta_ok
     print(f"parity {'PASS' if ok else 'FAIL'}: "
           f"first-step diff {abs(c[0] - t[0]):.2e} (atol "
-          f"{args.loss_atol}); tail loss cpu {c_end:.3f} / "
+          f"{args.loss_atol}); delta gate "
+          f"{'ok' if delta_ok else 'FAIL'}; tail loss cpu {c_end:.3f} / "
           f"{accel.platform} {t_end:.3f} (must be < "
           f"{args.learn_frac} x initial {c[0]:.3f})")
     return 0 if ok else 1
