@@ -48,6 +48,7 @@ class DataConfig:
     min_random_scale: float = 1.0
     max_random_scale: float = 1.0
     max_rotate_angle: float = 0.0     # degrees, uniform in [-a, a]
+    max_shear_ratio: float = 0.0      # horizontal shear, uniform in [-s, s]
     random_h: int = 36                # HSL jitter ranges (reference ImageNet
     random_s: int = 50                # cfgs: 36/50/50 in OpenCV HLS units)
     random_l: int = 50
@@ -161,9 +162,16 @@ def imagenet_resnet50() -> Config:
 
 
 def imagenet_resnext50() -> Config:
-    """BASELINE config #3: ResNeXt-50 32x4d."""
+    """BASELINE config #3: ResNeXt-50 32x4d.
+
+    Execution recipe (measured, PERF_NOTES.md round-2 sweep): the
+    merge-2 block-diagonal lowering of the grouped 3x3s is the fastest
+    on v5e (1723 img/s vs 1570 plain grouped); bn_subsample stays off —
+    it regresses every ResNeXt variant ~7% (ResNet-only win)."""
     cfg = Config()
     cfg.model = dataclasses.replace(cfg.model, network="resnext", depth=50)
+    cfg.train = dataclasses.replace(cfg.train, grouped_dense=True,
+                                    grouped_merge=2)
     return cfg
 
 
@@ -234,6 +242,8 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--random-h", type=int, default=None)
     p.add_argument("--random-s", type=int, default=None)
     p.add_argument("--random-l", type=int, default=None)
+    p.add_argument("--max-rotate-angle", type=float, default=None)
+    p.add_argument("--max-shear-ratio", type=float, default=None)
     # train
     p.add_argument("--batch-size", type=int, default=None, help="global batch")
     p.add_argument("--lr", type=float, default=None)
@@ -322,6 +332,10 @@ def config_from_args(args: argparse.Namespace) -> Config:
     if args.random_h is not None: d["random_h"] = args.random_h
     if args.random_s is not None: d["random_s"] = args.random_s
     if args.random_l is not None: d["random_l"] = args.random_l
+    if args.max_rotate_angle is not None:
+        d["max_rotate_angle"] = args.max_rotate_angle
+    if args.max_shear_ratio is not None:
+        d["max_shear_ratio"] = args.max_shear_ratio
     if args.batch_size is not None: t["batch_size"] = args.batch_size
     if args.lr is not None: t["lr"] = args.lr
     if args.lr_steps is not None: t["lr_steps"] = _parse_tuple(args.lr_steps)

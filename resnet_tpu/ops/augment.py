@@ -312,29 +312,40 @@ def _rgb_to_hsl_adjust(images: jnp.ndarray, rng, random_h: float,
     return jnp.clip(out, 0.0, 255.0)
 
 
-def rotate_images(images: jnp.ndarray, rng, max_angle_deg: float):
-    """Per-example rotation by U[-a, a] degrees about the image center
-    (ref: max_rotate_angle). Bilinear gathers via map_coordinates —
-    rotation is not separable, so the matmul trick doesn't apply; this
-    path only runs when the knob is enabled (MXNet default: 0)."""
+def rotate_images(images: jnp.ndarray, rng, max_angle_deg: float,
+                  max_shear_ratio: float = 0.0):
+    """Per-example affine warp about the image center: rotation by
+    U[-a, a] degrees composed with horizontal shear by U[-s, s]
+    (ref: max_rotate_angle / max_shear_ratio — MXNet's default augmenter
+    folds both into one warpAffine). Bilinear gathers via
+    map_coordinates — the warp is not separable, so the matmul trick
+    doesn't apply; this path only runs when a knob is enabled (MXNet
+    defaults: 0)."""
     from jax.scipy.ndimage import map_coordinates
     n, h, w, c = images.shape
-    angles = jax.random.uniform(rng, (n,), minval=-max_angle_deg,
+    r_a, r_s = jax.random.split(rng)
+    angles = jax.random.uniform(r_a, (n,), minval=-max_angle_deg,
                                 maxval=max_angle_deg) * (jnp.pi / 180.0)
+    shears = jax.random.uniform(r_s, (n,), minval=-max_shear_ratio,
+                                maxval=max_shear_ratio)
 
     yy, xx = jnp.meshgrid(jnp.arange(h, dtype=jnp.float32),
                           jnp.arange(w, dtype=jnp.float32), indexing="ij")
     cy, cx = (h - 1) / 2.0, (w - 1) / 2.0
 
-    def one(img, a):
+    def one(img, a, s):
+        # inverse map dst -> src: undo shear([[1, s], [0, 1]]) then
+        # rotation, both about the center
         cos, sin = jnp.cos(a), jnp.sin(a)
-        sy = cy + (yy - cy) * cos - (xx - cx) * sin
-        sx = cx + (yy - cy) * sin + (xx - cx) * cos
+        ux = (xx - cx) - s * (yy - cy)   # shear^{-1}
+        uy = yy - cy
+        sy = cy + uy * cos - ux * sin    # R(-a)
+        sx = cx + uy * sin + ux * cos
         def chan(ch):
             return map_coordinates(ch, [sy, sx], order=1, mode="constant")
         return jnp.stack([chan(img[..., k]) for k in range(c)], axis=-1)
 
-    return jax.vmap(one)(images, angles)
+    return jax.vmap(one)(images, angles, shears)
 
 
 def sample_boxes_canvas(rng, cfg: DataConfig, n: int, hc: int, wc: int,
@@ -396,9 +407,10 @@ def augment_imagenet(canvas_u8: jnp.ndarray, rng, cfg: DataConfig,
     n, hc, wc, _ = canvas_u8.shape
     r_box, r_mir, r_hsl, r_rot = jax.random.split(rng, 4)
     src = canvas_u8
-    if cfg.max_rotate_angle > 0:
+    if cfg.max_rotate_angle > 0 or getattr(cfg, "max_shear_ratio", 0.0) > 0:
         src = rotate_images(src.astype(jnp.float32), r_rot,
-                            cfg.max_rotate_angle)
+                            cfg.max_rotate_angle,
+                            getattr(cfg, "max_shear_ratio", 0.0))
     boxes = sample_boxes_canvas(r_box, cfg, n, hc, wc, out_hw, dims)
     # mirror folds into the horizontal resample matrix — zero extra cost
     flip = (jax.random.bernoulli(r_mir, 0.5, (n,))

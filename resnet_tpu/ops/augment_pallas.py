@@ -136,8 +136,8 @@ def augment_imagenet_pallas(canvas_u8: jnp.ndarray, rng, cfg: DataConfig,
     HSL jitter, when enabled, is applied by the XLA path on the cropped
     output (it is elementwise and XLA fuses it into the following cast).
     """
-    if cfg.max_rotate_angle > 0:
-        # the rotation variant only exists on the XLA path
+    if cfg.max_rotate_angle > 0 or getattr(cfg, "max_shear_ratio", 0.0) > 0:
+        # the rotation/shear warp variant only exists on the XLA path
         from resnet_tpu.ops.augment import augment_imagenet
         return augment_imagenet(canvas_u8, rng, cfg, out_hw, dtype,
                                 dims=dims)

@@ -218,8 +218,10 @@ class TestRotation:
         rng = np.random.default_rng(5)
         img = rng.integers(0, 256, (1, 16, 16, 3)).astype(np.float32)
         # reach into the implementation's own angle draw for the oracle
+        # (rotate_images splits rng into (angle, shear) keys)
         key = jax.random.key(11)
-        angle = float(jax.random.uniform(key, (1,), minval=-30.0,
+        r_a, _ = jax.random.split(key)
+        angle = float(jax.random.uniform(r_a, (1,), minval=-30.0,
                                          maxval=30.0)[0])
         got = np.asarray(augment.rotate_images(jnp.asarray(img), key, 30.0))
         # scipy rotates counterclockwise w/ the same center convention;
@@ -237,6 +239,38 @@ class TestRotation:
         img = rng.integers(0, 256, (2, 8, 8, 3)).astype(np.float32)
         got = augment.rotate_images(jnp.asarray(img), jax.random.key(0),
                                     0.0)
+        np.testing.assert_allclose(np.asarray(got), img, atol=1e-3)
+
+    def test_shear_matches_affine_oracle(self):
+        """Shear-only warp vs scipy affine_transform with the same inverse
+        map: src_x = cx + (x - cx) - s*(y - cy), src_y = y (ref:
+        max_shear_ratio; horizontal shear about the center)."""
+        import scipy.ndimage as ndi
+        rng = np.random.default_rng(7)
+        img = rng.integers(0, 256, (1, 16, 16, 3)).astype(np.float32)
+        key = jax.random.key(3)
+        _, r_s = jax.random.split(key)
+        s = float(jax.random.uniform(r_s, (1,), minval=-0.3,
+                                     maxval=0.3)[0])
+        got = np.asarray(augment.rotate_images(jnp.asarray(img), key, 0.0,
+                                               max_shear_ratio=0.3))
+        cy = cx = (16 - 1) / 2.0
+        # affine_transform: src = M @ dst + offset, coords (y, x)
+        # src_x = cx + (x - cx) - s*(y - cy) = x - s*y + s*cy
+        m = np.array([[1.0, 0.0], [-s, 1.0]])
+        offset = np.array([0.0, s * cy])
+        want = np.stack([
+            ndi.affine_transform(img[0, ..., c], m, offset=offset,
+                                 order=1, mode="constant")
+            for c in range(3)], axis=-1)
+        np.testing.assert_allclose(got[0, 4:12, 4:12], want[4:12, 4:12],
+                                   atol=2.0)
+
+    def test_shear_zero_identity(self):
+        img = np.random.default_rng(8).integers(
+            0, 256, (2, 8, 8, 3)).astype(np.float32)
+        got = augment.rotate_images(jnp.asarray(img), jax.random.key(1),
+                                    0.0, max_shear_ratio=0.0)
         np.testing.assert_allclose(np.asarray(got), img, atol=1e-3)
 
 
