@@ -1,4 +1,9 @@
-"""Chain execution of v1 bottleneck units (the round-2 throughput path).
+"""Chain execution of v1 bottleneck units (--unit-chain).
+
+MEASURED OUTCOME (round 2, PERF_NOTES.md): both chain backends LOSE to
+XLA's default schedule (cost model: xla-chain 143.8 GB, pallas-chain
+101.8 GB vs baseline 80.5 GB) — kept as a tested execution-path switch
+documenting the negative result.
 
 Rebuilds the hot path of the reference's bottleneck residual unit
 (ref:symbol/resnet.py residual_unit, bottle_neck=True, v1) with a dataflow

@@ -1,5 +1,10 @@
-"""Chained Pallas kernel (round-2 groundwork): normalize-input matmul with
-BN-stats epilogue.
+"""Chained Pallas kernel: normalize-input matmul with BN-stats epilogue.
+
+MEASURED OUTCOME (round 2, PERF_NOTES.md): the chain dataflow LOSES —
+XLA expressing the same chain matches the kernel forward, and the
+chain's custom-VJP residual traffic costs more than XLA's fusion
+pipeline in backward (101.8 GB vs 80.5 GB cost-model). Retained,
+tested, off by default, as the documented negative result.
 
 This is the building block PERF_NOTES.md identifies as the path past the
 BN-reduction bottleneck: consume the PREVIOUS conv's raw output + its batch

@@ -1,4 +1,8 @@
-"""Chained Pallas ops for fused bottleneck units (round-2 mega-kernel).
+"""Chained Pallas ops for fused bottleneck units.
+
+MEASURED OUTCOME (round 2, PERF_NOTES.md): the chain LOSES on the clock
+and in the cost model (backward residual traffic); retained, tested,
+off by default, as the documented negative result.
 
 The round-1 profiling (PERF_NOTES.md) showed the ResNet-50 train step is
 HBM-bound with ~32 ms of BN statistic/gradient reductions: XLA reads every

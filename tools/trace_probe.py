@@ -5,10 +5,10 @@ parsed headlessly — no TensorBoard needed).
 
     python tools/trace_probe.py [--steps 5] [--bn-subsample 8] [--top 25]
 
-Writes the XPlane trace under --logdir (default /tmp/trace_probe) and
-summarizes the TPU plane's op self-times, grouped by fusion-name prefix
-(conv fusions vs convert/reduce BN sweeps vs copies), like the round-1
-"Where the time goes" table in PERF_NOTES.md.
+Writes the jax.profiler trace under --logdir (default /tmp/trace_probe)
+and summarizes the TPU process's chrome-trace events, grouped by
+fusion-name prefix (conv fusions vs convert/reduce BN sweeps vs copies),
+like the round-1 "Where the time goes" table in PERF_NOTES.md.
 """
 
 from __future__ import annotations
@@ -22,44 +22,47 @@ from collections import defaultdict
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 
-def parse_xplanes(logdir: str, top: int):
-    """Best-effort XPlane parse via TF's profiler protos."""
-    paths = glob.glob(os.path.join(logdir, "**", "*.xplane.pb"),
+def parse_trace(logdir: str, top: int, steps: int):
+    """Parse the chrome trace (trace.json.gz) jax.profiler writes."""
+    import gzip
+    import json
+    import re
+
+    paths = glob.glob(os.path.join(logdir, "**", "*.trace.json.gz"),
                       recursive=True)
     if not paths:
-        print("no xplane.pb found under", logdir)
+        print("no trace.json.gz found under", logdir)
         return
-    from tensorflow.core.profiler.protobuf import xplane_pb2
-    space = xplane_pb2.XSpace()
-    with open(sorted(paths)[-1], "rb") as f:
-        space.ParseFromString(f.read())
-    for plane in space.planes:
-        if "TPU" not in plane.name and "/device" not in plane.name.lower():
+    with gzip.open(sorted(paths)[-1], "rt") as f:
+        trace = json.load(f)
+    # keep complete events from TPU device process tracks (not host threads)
+    pids = {p["pid"] for p in trace["traceEvents"]
+            if p.get("ph") == "M" and p.get("name") == "process_name"
+            and "TPU" in str(p.get("args", {}).get("name", ""))}
+    tot = defaultdict(float)
+    count = defaultdict(int)
+    for ev in trace["traceEvents"]:
+        if ev.get("ph") != "X" or ev.get("pid") not in pids:
             continue
-        # per-line (core) events; aggregate duration by event name
-        tot = defaultdict(int)
-        count = defaultdict(int)
-        for line in plane.lines:
-            for ev in line.events:
-                name = plane.event_metadata[ev.metadata_id].name
-                tot[name] += ev.duration_ps
-                count[name] += 1
-        if not tot:
-            continue
-        print(f"\n== plane: {plane.name} ==")
-        items = sorted(tot.items(), key=lambda kv: -kv[1])
-        total_ms = sum(tot.values()) / 1e9
-        print(f"total event time {total_ms:.1f} ms")
-        groups = defaultdict(int)
-        for name, ps in items:
-            key = name.split(".")[0].split("_fusion")[0]
-            groups[key] += ps
-        print("-- grouped --")
-        for k, ps in sorted(groups.items(), key=lambda kv: -kv[1])[:top]:
-            print(f"  {ps/1e9:9.2f} ms  {k}")
-        print("-- top events --")
-        for name, ps in items[:top]:
-            print(f"  {ps/1e9:9.2f} ms x{count[name]:4d}  {name[:90]}")
+        tot[ev["name"]] += ev.get("dur", 0)    # us
+        count[ev["name"]] += 1
+    if not tot:
+        print("no TPU device events; pids seen:",
+              sorted({e.get("pid") for e in trace["traceEvents"]})[:20])
+        return
+    total_ms = sum(tot.values()) / 1e3
+    print(f"device event time {total_ms:.1f} ms over {steps} steps "
+          f"= {total_ms/max(steps,1):.1f} ms/step")
+    groups = defaultdict(float)
+    for name, us in tot.items():
+        key = re.sub(r"[.\d]+$", "", name.split(".")[0])
+        groups[key] += us
+    print("-- grouped (ms/step) --")
+    for k, us in sorted(groups.items(), key=lambda kv: -kv[1])[:top]:
+        print(f"  {us/1e3/max(steps,1):9.2f}  {k}")
+    print("-- top events (ms/step total, count) --")
+    for name, us in sorted(tot.items(), key=lambda kv: -kv[1])[:top]:
+        print(f"  {us/1e3/max(steps,1):9.2f} x{count[name]:5d}  {name[:90]}")
 
 
 def main():
@@ -109,7 +112,7 @@ def main():
                 state, m = step(state, batch)
             float(m["count"])
 
-    parse_xplanes(args.logdir, args.top)
+    parse_trace(args.logdir, args.top, args.steps)
     return 0
 
 
