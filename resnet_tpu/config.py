@@ -237,6 +237,7 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--min-random-area", type=float, default=None)
     p.add_argument("--max-random-area", type=float, default=None)
     p.add_argument("--max-aspect-ratio", type=float, default=None)
+    p.add_argument("--min-aspect-ratio", type=float, default=None)
     p.add_argument("--min-random-scale", type=float, default=None)
     p.add_argument("--max-random-scale", type=float, default=None)
     p.add_argument("--random-h", type=int, default=None)
@@ -325,6 +326,8 @@ def config_from_args(args: argparse.Namespace) -> Config:
         d["max_random_area"] = args.max_random_area
     if args.max_aspect_ratio is not None:
         d["max_aspect_ratio"] = args.max_aspect_ratio
+    if args.min_aspect_ratio is not None:
+        d["min_aspect_ratio"] = args.min_aspect_ratio
     if args.min_random_scale is not None:
         d["min_random_scale"] = args.min_random_scale
     if args.max_random_scale is not None:

@@ -406,11 +406,16 @@ int rtpu_next_batch(void* handle, int batch, uint8_t* images, float* labels,
         IRHeader hdr;
         std::memcpy(&hdr, rec.data(), sizeof(hdr));
         size_t off = sizeof(hdr) + 4ull * hdr.flag;
-        label = hdr.flag
-            ? *reinterpret_cast<const float*>(rec.data() + sizeof(hdr))
-            : hdr.label;
-        ok = off < rec.size() &&
-            DecodeJpeg(rec.data() + off, rec.size() - off, &rgb, &w, &h);
+        // bounds BEFORE the extra-label read: a truncated record with
+        // flag>0 must not read past the buffer (off<=size guarantees the
+        // flag floats fit; off<size additionally leaves image bytes)
+        ok = off < rec.size();
+        if (ok) {
+          label = hdr.flag
+              ? *reinterpret_cast<const float*>(rec.data() + sizeof(hdr))
+              : hdr.label;
+          ok = DecodeJpeg(rec.data() + off, rec.size() - off, &rgb, &w, &h);
+        }
       }
       if (!ok) {
         failures.fetch_add(1);

@@ -133,6 +133,13 @@ class PythonRecordLoader:
         self.num_records = len(self._entries)
         self._order = np.arange(self.num_records)
         self._cursor = 0
+        self._decode_failures = 0
+
+    @property
+    def records_consumed(self) -> int:
+        """Epoch cursor position (records pulled, INCLUDING corrupt ones
+        that were dropped) — the mid-epoch-resume seek unit."""
+        return int(self._cursor)
 
     def begin_epoch(self, epoch: int, shuffle: bool, seed: int) -> None:
         self._cursor = 0
@@ -151,8 +158,17 @@ class PythonRecordLoader:
         from resnet_tpu.data.recordio import unpack_image_record
         h, w = self.canvas_hw
         shard, off = self._entries[self._order[self._cursor + i]]
-        rec = unpack_image_record(self._readers[shard].read_at(off))
-        img = Image.open(_io.BytesIO(rec.image)).convert("RGB")
+        try:
+            rec = unpack_image_record(self._readers[shard].read_at(off))
+            img = Image.open(_io.BytesIO(rec.image)).convert("RGB")
+        except Exception:
+            # corrupt record: mark for the caller to drop, exactly like
+            # the native loader (label -1 sentinel) — raising here would
+            # kill the epoch on this backend while the other one trains
+            images[i] = 0
+            labels[i] = -1.0
+            dims[i] = (1, 1, 1, 1)
+            return
         iw, ih = img.size
         if self.letterbox:
             eh, ew = _letterbox_dims(ih, iw, h, w)
@@ -186,6 +202,14 @@ class PythonRecordLoader:
             for i in range(todo):
                 self._decode_one(i, images, labels, dims)
         self._cursor += todo
+        keep = labels >= 0.0
+        if not keep.all():
+            bad = int(todo - keep.sum())
+            self._decode_failures += bad
+            _log.warning(
+                "record loader (python): %d corrupt record(s) skipped "
+                "(%d total this loader)", bad, self._decode_failures)
+            images, labels, dims = images[keep], labels[keep], dims[keep]
         if self.letterbox:
             return images, labels, dims
         return images, labels, None
@@ -231,14 +255,23 @@ class NativeRecordLoader:
         self.letterbox = letterbox
         self.num_records = int(lib.rtpu_num_records(self._h))
         self._decode_failures = 0
+        self._consumed = 0
+
+    @property
+    def records_consumed(self) -> int:
+        """Epoch cursor position (records pulled, INCLUDING corrupt ones
+        that were dropped) — the mid-epoch-resume seek unit."""
+        return self._consumed
 
     def begin_epoch(self, epoch: int, shuffle: bool, seed: int) -> None:
         self._lib.rtpu_begin_epoch(self._h, epoch, int(shuffle),
                                    seed & 0xFFFFFFFF)
+        self._consumed = 0
 
     def skip(self, n: int) -> None:
         """Advance the epoch cursor without decoding (mid-epoch resume)."""
         self._lib.rtpu_skip(self._h, int(n))
+        self._consumed += int(n)
 
     def next_batch(self, batch_size: int):
         """Returns (images uint8 (n,H,W,3), labels float32 (n,), dims) with
@@ -257,6 +290,7 @@ class NativeRecordLoader:
             dims.ctypes.data_as(ctypes.POINTER(ctypes.c_int)),
             ctypes.byref(count))
         n = count.value
+        self._consumed += int(n)
         keep = slice(None)
         if rc < 0:
             # -rc records failed to decode; the C side zero-fills them and

@@ -73,9 +73,14 @@ class RecordIter(DataIter):
                  part_index: int = 0):
         d, t = cfg.data, cfg.train
         recs = resolve_shards(d.data_dir, d.train_rec if train else d.val_rec)
+        # honor an explicitly configured index file for a single-file rec
+        # (cfg.data.train_idx/val_idx); sharded sets derive per-shard names
+        cfg_idx = os.path.join(d.data_dir, d.train_idx if train else d.val_idx)
         idxs = []
         for rec in recs:
             idx = rec[:-4] + ".idx" if rec.endswith(".rec") else rec + ".idx"
+            if len(recs) == 1 and os.path.exists(cfg_idx):
+                idx = cfg_idx
             idxs.append(idx if os.path.exists(idx) else "")
         self.train = train
         self.shuffle = d.shuffle and train
@@ -98,7 +103,8 @@ class RecordIter(DataIter):
                 // self.batch_size
         self._epoch = 0
         self._batches_done = 0
-        self._resume = None  # (epoch, batch) to seek to on next epoch_iter
+        self._records_done = 0   # records CONSUMED (incl. corrupt-dropped)
+        self._resume = None  # (epoch, batch, record) to seek on epoch_iter
 
     # -- iteration ---------------------------------------------------------
 
@@ -118,6 +124,9 @@ class RecordIter(DataIter):
             have += len(images)
         if not parts:
             return None
+        if len(parts) == 1:
+            # the common no-corrupt-records case: no copy
+            return parts[0]
         images = np.concatenate([p[0] for p in parts])
         labels = np.concatenate([p[1] for p in parts])
         dims = (np.concatenate([p[2] for p in parts])
@@ -127,13 +136,18 @@ class RecordIter(DataIter):
     def epoch_iter(self, epoch: int) -> Iterator[dict]:
         self._epoch = epoch
         self._batches_done = 0
+        self._records_done = 0
         self.loader.begin_epoch(epoch, self.shuffle, self.seed)
         start_batch = 0
         if self._resume and self._resume[0] == epoch and self._resume[1]:
-            # mid-epoch resume: seek the deterministic stream to the batch
+            # mid-epoch resume: seek the deterministic stream by RECORDS
+            # consumed (not batch*bs — corrupt-record drops make a batch
+            # consume more than batch_size records)
             start_batch = min(self._resume[1], self.steps_per_epoch)
-            self.loader.skip(start_batch * self.batch_size)
+            start_record = self._resume[2]
+            self.loader.skip(start_record)
             self._batches_done = start_batch
+            self._records_done = start_record
         self._resume = None
         q: queue.Queue = queue.Queue(maxsize=self.prefetch_buffer)
         stop = threading.Event()
@@ -146,7 +160,15 @@ class RecordIter(DataIter):
                     out = self._fill_batch()
                     if out is None:
                         break
-                    q.put(self._to_batch(*out))
+                    if self.train and len(out[0]) < self.batch_size:
+                        # drop the corrupt-shortened tail batch: training
+                        # on a zero-padded batch would bias gradients, and
+                        # a new 'mask' pytree key would recompile the step
+                        break
+                    consumed = getattr(self.loader, "records_consumed",
+                                       self._records_done
+                                       + len(out[0]))
+                    q.put((self._to_batch(*out), consumed))
             finally:
                 q.put(None)
 
@@ -157,8 +179,10 @@ class RecordIter(DataIter):
                 item = q.get()
                 if item is None:
                     break
+                batch, consumed = item
                 self._batches_done += 1
-                yield item
+                self._records_done = consumed
+                yield batch
         finally:
             stop.set()
             # drain so the producer can finish putting
@@ -194,8 +218,13 @@ class RecordIter(DataIter):
     # -- checkpoint state --------------------------------------------------
 
     def state_dict(self) -> dict:
-        return {"epoch": self._epoch, "batch": self._batches_done}
+        return {"epoch": self._epoch, "batch": self._batches_done,
+                "record": self._records_done}
 
     def load_state_dict(self, state: dict) -> None:
         self._epoch = state.get("epoch", 0)
-        self._resume = (self._epoch, state.get("batch", 0))
+        batch = state.get("batch", 0)
+        # older checkpoints lack the record cursor: batch*bs is exact when
+        # no records were dropped (the only case those checkpoints saw)
+        record = state.get("record", batch * self.batch_size)
+        self._resume = (self._epoch, batch, record)

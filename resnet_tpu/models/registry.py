@@ -64,6 +64,15 @@ def get_model(cfg: Config, dtype: Any = None, remat: bool = None,
     grouped_merge = getattr(cfg.train, "grouped_merge", 0)
     bn_subsample = getattr(cfg.train, "bn_subsample", 1)
     remat_policy = getattr(cfg.train, "remat_policy", "none")
+    if unit_chain != "off" and (bn_subsample > 1
+                                or remat_policy == "conv"):
+        # the chain dataflow computes full-batch stats in its epilogues
+        # and manages its own residuals — silently ignoring these knobs
+        # would benchmark something other than what the flags say
+        raise ValueError(
+            "--unit-chain does not compose with --bn-subsample > 1 or "
+            "--remat-policy conv (the chain computes full-batch BN stats "
+            "in-kernel); drop one of the flags")
     return ResNet(
         units=units,
         filters=filters,

@@ -209,7 +209,8 @@ def sample_scale_crop_boxes(rng, src_h, src_w, min_scale: float,
 
 def resample_weights(starts: jnp.ndarray, sizes: jnp.ndarray, out_size: int,
                      src_size: int,
-                     flip: Optional[jnp.ndarray] = None) -> jnp.ndarray:
+                     flip: Optional[jnp.ndarray] = None,
+                     valid_size: Optional[jnp.ndarray] = None) -> jnp.ndarray:
     """Per-example 1-D bilinear resampling matrices, (N, out, src).
 
     TPU-first trick: a bilinear crop-resize is a LINEAR map, so instead of
@@ -223,13 +224,20 @@ def resample_weights(starts: jnp.ndarray, sizes: jnp.ndarray, out_size: int,
 
     ``flip`` (N,) bool folds the horizontal mirror into Wx by reversing the
     output coordinates — the mirror costs nothing.
+
+    ``valid_size`` (N,) clips sample coordinates per example — letterboxed
+    canvases are only valid up to the image's effective extent, and an
+    edge-touching crop must clamp to the last REAL row/column instead of
+    bilinearly blending the zero padding into the output border.
     """
     i = jnp.arange(out_size, dtype=jnp.float32)[None, :]        # (1, out)
     if flip is not None:
         i = jnp.where(flip[:, None], out_size - 1 - i, i)        # (N, out)
     scale = (sizes / out_size)[:, None]                          # (N, 1)
     src = starts[:, None] + (i + 0.5) * scale - 0.5              # (N, out)
-    src = jnp.clip(src, 0.0, src_size - 1.0)
+    hi = (jnp.asarray(valid_size, jnp.float32)[:, None] - 1.0
+          if valid_size is not None else src_size - 1.0)
+    src = jnp.clip(src, 0.0, hi)
     j = jnp.arange(src_size, dtype=jnp.float32)                  # (src,)
     w = jnp.maximum(0.0, 1.0 - jnp.abs(src[:, :, None] - j))     # (N,out,src)
     return w
@@ -237,18 +245,22 @@ def resample_weights(starts: jnp.ndarray, sizes: jnp.ndarray, out_size: int,
 
 def crop_resize_bilinear(images: jnp.ndarray, boxes, out_hw: Tuple[int, int],
                          dtype=jnp.float32,
-                         flip: Optional[jnp.ndarray] = None) -> jnp.ndarray:
+                         flip: Optional[jnp.ndarray] = None,
+                         valid_hw=None) -> jnp.ndarray:
     """Per-example crop box -> bilinear resize to out_hw (+ fused mirror).
 
     Two batched matmuls on the MXU (see resample_weights): vertical then
     horizontal resample. ~350 MFLOP per 256->224 image — noise next to the
     ResNet-50 step, and it replaces every gather in the input pipeline.
+    ``valid_hw`` = per-example (eff_h, eff_w) of a letterboxed canvas.
     """
     y0, x0, ch, cw = boxes
     oh, ow = out_hw
     n, sh, sw, c = images.shape
-    wy = resample_weights(y0, ch, oh, sh)                       # (N,oh,sh)
-    wx = resample_weights(x0, cw, ow, sw, flip=flip)            # (N,ow,sw)
+    vh, vw = valid_hw if valid_hw is not None else (None, None)
+    wy = resample_weights(y0, ch, oh, sh, valid_size=vh)        # (N,oh,sh)
+    wx = resample_weights(x0, cw, ow, sw, flip=flip,
+                          valid_size=vw)                        # (N,ow,sw)
     img = images.astype(jnp.float32)
     # (N,oh,sh) @ (N,sh,sw*c) -> (N,oh,sw*c)
     tmp = jax.lax.dot_general(
@@ -415,8 +427,9 @@ def augment_imagenet(canvas_u8: jnp.ndarray, rng, cfg: DataConfig,
     # mirror folds into the horizontal resample matrix — zero extra cost
     flip = (jax.random.bernoulli(r_mir, 0.5, (n,))
             if cfg.rand_mirror else None)
+    valid = (dims[:, 2], dims[:, 3]) if dims is not None else None
     x = crop_resize_bilinear(src, boxes, out_hw, jnp.float32,
-                             flip=flip)
+                             flip=flip, valid_hw=valid)
     if cfg.random_h or cfg.random_s or cfg.random_l:
         x = _rgb_to_hsl_adjust(x, r_hsl, cfg.random_h, cfg.random_s,
                                cfg.random_l)

@@ -49,6 +49,10 @@ def _aug_kernel(box_ref, img_ref, out_ref, *, src_hw, out_hw, mean, inv_std,
     ch = box_ref[i, 2]
     cw = box_ref[i, 3]
     flip = box_ref[i, 4]
+    # per-image valid extent of a letterboxed canvas: edge-touching crops
+    # clamp to the last REAL row/column instead of blending the zero pad
+    vh = box_ref[i, 5]
+    vw = box_ref[i, 6]
 
     # Mosaic has no direct uint8->f32 cast; go through int32
     img = img_ref[0].astype(jnp.int32).astype(jnp.float32)  # (sh, sw*3)
@@ -58,7 +62,7 @@ def _aug_kernel(box_ref, img_ref, out_ref, *, src_hw, out_hw, mean, inv_std,
         .astype(jnp.float32)
     j_y = jax.lax.broadcasted_iota(jnp.int32, (oh, sh), 1) \
         .astype(jnp.float32)
-    src_y = jnp.clip(y0 + (i_y + 0.5) * (ch / oh) - 0.5, 0.0, sh - 1.0)
+    src_y = jnp.clip(y0 + (i_y + 0.5) * (ch / oh) - 0.5, 0.0, vh - 1.0)
     wy = jnp.maximum(0.0, 1.0 - jnp.abs(src_y - j_y))       # (oh, sh)
 
     tmp = jnp.dot(wy, img, preferred_element_type=jnp.float32)  # (oh, sw*3)
@@ -70,7 +74,7 @@ def _aug_kernel(box_ref, img_ref, out_ref, *, src_hw, out_hw, mean, inv_std,
     j = (q // 3).astype(jnp.float32)
     # mirror: output column j samples column (ow-1-j) when flip is set
     j_eff = jnp.where(flip > 0.5, (ow - 1.0) - j, j)
-    src_x = jnp.clip(x0 + (j_eff + 0.5) * (cw / ow) - 0.5, 0.0, sw - 1.0)
+    src_x = jnp.clip(x0 + (j_eff + 0.5) * (cw / ow) - 0.5, 0.0, vw - 1.0)
     wx = jnp.maximum(0.0, 1.0 - jnp.abs(src_x - s))
     same_c = (r % 3) == (q % 3)
     wxe = jnp.where(same_c, wx, 0.0)                        # (sw*3, ow*3)
@@ -89,16 +93,25 @@ def _aug_kernel(box_ref, img_ref, out_ref, *, src_hw, out_hw, mean, inv_std,
 def fused_crop_mirror_normalize(
         canvas_u8: jnp.ndarray, boxes, flip: Optional[jnp.ndarray],
         out_hw: Tuple[int, int], mean_rgb, std_rgb,
-        dtype=jnp.bfloat16, interpret: bool = False) -> jnp.ndarray:
-    """(N,Hc,Wc,3) uint8 + per-image boxes -> (N,oh,ow,3) normalized dtype."""
+        dtype=jnp.bfloat16, interpret: bool = False,
+        valid_hw=None) -> jnp.ndarray:
+    """(N,Hc,Wc,3) uint8 + per-image boxes -> (N,oh,ow,3) normalized dtype.
+
+    ``valid_hw`` = per-example (eff_h, eff_w) of a letterboxed canvas
+    (sample coordinates clamp there instead of the canvas edge)."""
     n, sh, sw, _ = canvas_u8.shape
     oh, ow = out_hw
     y0, x0, ch, cw = boxes
     if flip is None:
         flip = jnp.zeros((n,), jnp.float32)
+    if valid_hw is None:
+        vh = jnp.full((n,), float(sh), jnp.float32)
+        vw = jnp.full((n,), float(sw), jnp.float32)
+    else:
+        vh = valid_hw[0].astype(jnp.float32)
+        vw = valid_hw[1].astype(jnp.float32)
     box_rows = jnp.stack(
-        [y0, x0, ch, cw, flip.astype(jnp.float32),
-         jnp.zeros((n,), jnp.float32), jnp.zeros((n,), jnp.float32),
+        [y0, x0, ch, cw, flip.astype(jnp.float32), vh, vw,
          jnp.zeros((n,), jnp.float32)], axis=1)             # (N, 8)
 
     img2d = canvas_u8.reshape(n, sh, sw * 3)
@@ -147,6 +160,7 @@ def augment_imagenet_pallas(canvas_u8: jnp.ndarray, rng, cfg: DataConfig,
     boxes = sample_boxes_canvas(r_box, cfg, n, hc, wc, out_hw, dims)
     flip = (jax.random.bernoulli(r_mir, 0.5, (n,))
             if cfg.rand_mirror else None)
+    valid = (dims[:, 2], dims[:, 3]) if dims is not None else None
 
     if cfg.random_h or cfg.random_s or cfg.random_l:
         # jitter operates on un-normalized pixels: crop with identity
@@ -154,11 +168,11 @@ def augment_imagenet_pallas(canvas_u8: jnp.ndarray, rng, cfg: DataConfig,
         from resnet_tpu.ops.augment import _rgb_to_hsl_adjust, normalize
         x = fused_crop_mirror_normalize(
             canvas_u8, boxes, flip, out_hw, (0.0, 0.0, 0.0),
-            (1.0, 1.0, 1.0), jnp.float32, interpret)
+            (1.0, 1.0, 1.0), jnp.float32, interpret, valid_hw=valid)
         x = _rgb_to_hsl_adjust(x, r_hsl, cfg.random_h, cfg.random_s,
                                cfg.random_l)
         return normalize(x, cfg.mean_rgb, cfg.std_rgb, dtype)
 
     return fused_crop_mirror_normalize(
         canvas_u8, boxes, flip, out_hw, cfg.mean_rgb, cfg.std_rgb, dtype,
-        interpret)
+        interpret, valid_hw=valid)

@@ -85,6 +85,19 @@ class Solver:
             raise ValueError(
                 "sync_bn requires --dp-mode jit (global-batch BN); "
                 "--dp-mode shard_map is per-replica BN like MXNet per-GPU")
+        if (t.bn_subsample > 1 and t.dp_mode == "shard_map" and n_dev > 1):
+            # bn_subsample is a fraction of the PER-REPLICA batch; under
+            # shard_map the batch is already split n_dev ways, so keep the
+            # intended absolute stats-sample count (batch/s images) by
+            # rescaling instead of double-subsampling
+            eff = max(1, t.bn_subsample // n_dev)
+            self_log_note = (f"bn_subsample {t.bn_subsample} -> {eff} under "
+                             f"{n_dev}-way shard_map (per-replica batches)")
+            t.bn_subsample = eff
+        else:
+            self_log_note = None
+        if self_log_note:
+            self.log.info(self_log_note)
         aug_fn, eval_fn = _augment_fns(cfg)
         from resnet_tpu.utils.xla_opts import compiler_options
         xla_opts = compiler_options(getattr(t, "xla_opts", None))

@@ -339,3 +339,55 @@ class TestPipelines:
         b = augment.augment_imagenet(jnp.asarray(imgs), jax.random.key(5),
                                      cfg, (32, 32))
         np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+
+
+class TestLetterboxEdgeClamp:
+    """Edge-touching crops on a letterboxed canvas must clamp sampling to
+    the image's effective extent, not bilinearly blend the zero padding
+    into the border (reference parity: MXNet samples the original image,
+    which has no padding)."""
+
+    def _canvas(self):
+        # all-white 100x80 image letterboxed onto a 64x64 canvas:
+        # eff = (64, 51); columns 51..63 are zero padding
+        canvas = np.zeros((1, 64, 64, 3), np.uint8)
+        canvas[:, :64, :51] = 255
+        dims = np.array([[100, 80, 64, 51]], np.int32)
+        return jnp.asarray(canvas), jnp.asarray(dims)
+
+    def _boxes(self):
+        # crop = the full effective region (edge-touching on the right)
+        return (jnp.array([0.0]), jnp.array([0.0]),
+                jnp.array([64.0]), jnp.array([51.0]))
+
+    def test_xla_path_no_padding_bleed(self):
+        canvas, dims = self._canvas()
+        out = augment.crop_resize_bilinear(
+            canvas, self._boxes(), (32, 32), jnp.float32,
+            valid_hw=(dims[:, 2], dims[:, 3]))
+        out = np.asarray(out)
+        # without the clamp the last column blends ~40% zeros (~150)
+        assert out[0, :, -1].min() > 250, out[0, :, -1].min()
+        assert out[0, -1, :].min() > 250
+
+    def test_pallas_path_no_padding_bleed(self):
+        from resnet_tpu.ops.augment_pallas import fused_crop_mirror_normalize
+        canvas, dims = self._canvas()
+        out = fused_crop_mirror_normalize(
+            canvas, self._boxes(), None, (32, 32), (0.0, 0.0, 0.0),
+            (1.0, 1.0, 1.0), jnp.float32, interpret=True,
+            valid_hw=(dims[:, 2], dims[:, 3]))
+        out = np.asarray(out)
+        assert out[0, :, -1].min() > 250
+        assert out[0, -1, :].min() > 250
+
+    def test_without_valid_hw_unchanged(self):
+        """No dims (in-memory pipelines): the canvas IS the image and the
+        old clip applies — full-canvas crops keep exact pixels."""
+        img = np.random.default_rng(0).integers(
+            0, 255, (1, 16, 16, 3)).astype(np.uint8)
+        out = augment.crop_resize_bilinear(
+            jnp.asarray(img), (jnp.array([0.0]), jnp.array([0.0]),
+                               jnp.array([16.0]), jnp.array([16.0])),
+            (16, 16), jnp.float32)
+        np.testing.assert_allclose(np.asarray(out)[0], img[0], atol=1e-3)

@@ -318,7 +318,8 @@ class TestRecordIter:
         gen = it.epoch_iter(2)
         first = [next(gen)["label"].tolist() for _ in range(2)]
         state = it.state_dict()
-        assert state == {"epoch": 2, "batch": 2}
+        # "record" = records consumed (== batch*bs with no corrupt drops)
+        assert state == {"epoch": 2, "batch": 2, "record": 8}
         rest_original = [b["label"].tolist() for b in gen]
 
         it2 = RecordIter(cfg, train=True)
@@ -489,3 +490,104 @@ class TestValTransformParity:
             self._check(NativeRecordLoader, rec, decoded, 1.5, 0.999)
         except NativeUnavailable:
             pytest.skip("native loader unavailable")
+
+
+class TestCorruptRecords:
+    """Corrupt-record handling parity across loaders + the batch stream.
+
+    The reference's ImageRecordIOParser2 drops records whose imdecode
+    fails; both our loaders must do the same (label -1 sentinel filter),
+    the train stream must drop the corrupt-shortened tail batch instead
+    of zero-padding it, and the mid-epoch cursor must count CONSUMED
+    records so resume still replays the exact stream."""
+
+    @pytest.fixture(scope="class")
+    def corrupt_rec(self, tmp_path_factory):
+        from PIL import Image
+        root = tmp_path_factory.mktemp("corrupt")
+        rng = np.random.default_rng(3)
+        with rio.RecordIOWriter(str(root / "train.rec"),
+                                str(root / "train.idx")) as w:
+            for i in range(10):
+                if i == 4:
+                    payload = b"\xff\xd8NOT-A-JPEG" + bytes(40)
+                else:
+                    import io as _io
+                    arr = rng.integers(0, 255, (32, 40, 3)).astype(np.uint8)
+                    buf = _io.BytesIO()
+                    Image.fromarray(arr).save(buf, format="JPEG")
+                    payload = buf.getvalue()
+                w.write(rio.pack_image_record(payload, float(i), rec_id=i),
+                        key=i)
+        return str(root)
+
+    def _loader_case(self, loader_cls, root):
+        loader = loader_cls(root + "/train.rec", root + "/train.idx",
+                            (32, 32), letterbox=True)
+        loader.begin_epoch(0, False, 0)
+        images, labels, dims = loader.next_batch(10)
+        # record 4 dropped, not fed as a black image
+        assert len(images) == 9
+        assert 4.0 not in labels.tolist()
+        assert (labels >= 0).all()
+        assert loader.records_consumed == 10  # corrupt one still consumed
+        return labels
+
+    def test_python_loader_skips(self, corrupt_rec):
+        from resnet_tpu.data.native import PythonRecordLoader
+        labels = self._loader_case(PythonRecordLoader, corrupt_rec)
+        assert labels.tolist() == [0, 1, 2, 3, 5, 6, 7, 8, 9]
+
+    def test_native_loader_skips(self, corrupt_rec):
+        from resnet_tpu.data.native import (NativeRecordLoader,
+                                            NativeUnavailable)
+        try:
+            labels = self._loader_case(NativeRecordLoader, corrupt_rec)
+        except NativeUnavailable:
+            pytest.skip("native loader unavailable")
+        assert labels.tolist() == [0, 1, 2, 3, 5, 6, 7, 8, 9]
+
+    def test_train_stream_drops_short_tail(self, corrupt_rec):
+        """10 records, 1 corrupt, bs=5: batch 1 tops up from the stream
+        (5 good records consumed across 6), the tail has only 4 left ->
+        dropped; no zero-padded/masked train batch is ever emitted."""
+        from resnet_tpu.config import Config
+        from resnet_tpu.data.pipeline import RecordIter
+        cfg = Config()
+        cfg.data.data_dir = corrupt_rec
+        cfg.data.train_rec = "train.rec"
+        cfg.data.image_shape = (32, 32, 3)
+        cfg.data.shuffle = False
+        cfg.train.batch_size = 5
+        it = RecordIter(cfg, train=True)
+        batches = list(it.epoch_iter(0))
+        assert len(batches) == 1
+        assert batches[0]["image"].shape[0] == 5
+        assert "mask" not in batches[0]
+        assert batches[0]["label"].tolist() == [0, 1, 2, 3, 5]
+        # cursor counts consumed records (6: five good + one corrupt)
+        assert it.state_dict()["record"] == 6
+
+    def test_mid_epoch_resume_with_corrupt_records(self, corrupt_rec):
+        """Resume must seek by consumed records, not batch*bs."""
+        from resnet_tpu.config import Config
+        from resnet_tpu.data.pipeline import RecordIter
+        cfg = Config()
+        cfg.data.data_dir = corrupt_rec
+        cfg.data.train_rec = "train.rec"
+        cfg.data.image_shape = (32, 32, 3)
+        cfg.data.shuffle = False
+        cfg.train.batch_size = 3
+        it = RecordIter(cfg, train=True)
+        gen = it.epoch_iter(0)
+        first = next(gen)  # consumes 0,1,2
+        second = next(gen)  # consumes 3,4(corrupt),5 -> tops up with 6
+        assert second["label"].tolist() == [3.0, 5.0, 6.0]
+        state = it.state_dict()
+        assert state["record"] == 7
+        rest_original = [b["label"].tolist() for b in gen]
+
+        it2 = RecordIter(cfg, train=True)
+        it2.load_state_dict(state)
+        rest_resumed = [b["label"].tolist() for b in it2.epoch_iter(0)]
+        assert rest_resumed == rest_original == [[7.0, 8.0, 9.0]]
