@@ -1,11 +1,15 @@
 """Persistent XLA compilation cache setup.
 
-Remote (axon-relay) TPU compiles of the full train step take 70s-20min;
-cache hits load in seconds. The JAX_COMPILATION_CACHE_DIR env var is NOT
-honored reliably under the axon sitecustomize (verified: bench.py set only
-the env var and ~/.jax_cache was never created), so every entrypoint that
-touches the TPU must call :func:`enable_compile_cache` after importing jax
-— the programmatic config always works.
+Honest scope (measured, CLAUDE.md / PERF_NOTES.md): on the axon-relay
+backend the persistent cache NEVER captures TPU executables — only
+CPU-side jits land in the cache dir — so remote train-step compiles
+(4-15+ min) are paid every process regardless. The helper still pays for
+itself on CPU runs (tests, tools) and on standard TPU hosts where the
+PJRT cache works. The JAX_COMPILATION_CACHE_DIR env var is NOT honored
+reliably under the axon sitecustomize (verified: bench.py set only the
+env var and ~/.jax_cache was never created), so entrypoints call
+:func:`enable_compile_cache` after importing jax — the programmatic
+config always works.
 """
 
 from __future__ import annotations
