@@ -45,6 +45,11 @@ def main():
     p.add_argument("--dtype", default="bfloat16")
     p.add_argument("--no-augment", action="store_true",
                    help="skip on-device augmentation (pure model step)")
+    p.add_argument("--canvas", type=int, default=0,
+                   help="input canvas edge fed to the on-device augmenter "
+                        "(0 = auto: the shipped letterbox canvas, 256 for "
+                        "224 output — what the record pipeline feeds; "
+                        "rounds r1/r2 measured 224-canvas inputs)")
     p.add_argument("--host-data", action="store_true",
                    help="include per-step host->device transfer")
     p.add_argument("--pool", type=int, default=4,
@@ -58,10 +63,16 @@ def main():
                    help="groups fused per dense block (0 = all)")
     p.add_argument("--bn-subsample", type=int, default=8,
                    help="BN stats from batch//s leading images; the "
-                        "default 8 at batch 256 reproduces the reference's "
-                        "per-GPU 32-image BN stats sample (bs256 over 8 "
-                        "GPUs) and measures ~3%% faster than full-batch "
-                        "stats; pass 1 for sync-BN-style full-batch stats")
+                        "default 8 at batch 256 matches the reference's "
+                        "per-GPU 32-image BN stats SAMPLE COUNT (bs256 "
+                        "over 8 GPUs) and measures ~3%% faster than "
+                        "full-batch stats; pass 1 for sync-BN-style "
+                        "full-batch stats (forced automatically when "
+                        "--unit-chain computes full-batch stats in-kernel)")
+    p.add_argument("--bn-grouped", action="store_true",
+                   help="with --bn-subsample s: normalize s independent "
+                        "groups, each with its own stats — the exact "
+                        "single-chip analog of per-GPU BatchNorm")
     p.add_argument("--remat-policy", choices=["none", "conv"],
                    default="none",
                    help="selective remat: save conv outs + BN stats only")
@@ -100,7 +111,17 @@ def main():
     cfg.train.unit_chain = args.unit_chain
     cfg.train.grouped_dense = args.grouped_dense
     cfg.train.grouped_merge = args.grouped_merge
+    if args.unit_chain != "off" and args.bn_subsample != 1:
+        # the chain dataflow computes full-batch stats in-kernel and does
+        # not compose with sub-batch BN stats (models/registry.py guard);
+        # the bn-subsample default would otherwise make every --unit-chain
+        # run crash
+        print(f"# --unit-chain {args.unit_chain}: forcing --bn-subsample 1",
+              file=sys.stderr)
+        args.bn_subsample = 1
+        args.bn_grouped = False
     cfg.train.bn_subsample = args.bn_subsample
+    cfg.train.bn_grouped = args.bn_grouped
     cfg.train.remat_policy = args.remat_policy
     if args.quick:
         cfg.model.depth = 18
@@ -137,12 +158,27 @@ def main():
         compiler_options=compiler_options(args.xla_opts))
 
     h, w, c = cfg.data.image_shape
+    if aug_fn is not None and not args.quick:
+        # measure the SHIPPED input conditions: the record pipeline feeds
+        # letterboxed canvases (256x256 for 224 output) + per-image dims,
+        # and the augmenter crops in the full-image domain
+        # (data/pipeline.py canvas contract)
+        from resnet_tpu.data.pipeline import canvas_size
+        ch, cw = canvas_size((h, w), override=args.canvas)
+    else:
+        ch, cw = h, w
     rng = np.random.default_rng(0)
     host_batches = [{
-        "image": rng.integers(0, 256, (bs, h, w, c), dtype=np.uint8),
+        "image": rng.integers(0, 256, (bs, ch, cw, c), dtype=np.uint8),
         "label": rng.integers(0, cfg.data.num_classes, (bs,),
                               dtype=np.int32),
     } for _ in range(args.pool)]
+    if (ch, cw) != (h, w):
+        # full-canvas dims (orig == eff == canvas): the shipped program
+        # shape — synthetic stand-in for shorter-side-256 pack letterboxes
+        for b in host_batches:
+            b["dims"] = np.tile(
+                np.asarray([[ch, cw, ch, cw]], np.int32), (bs, 1))
 
     def sync(metrics):
         # forced host readback — the only reliable sync on this backend
@@ -183,6 +219,8 @@ def main():
         name += "_quick"
     if args.no_augment:
         name += "_noaug"
+    if args.canvas:
+        name += f"_canvas{args.canvas}"
     if args.unit_chain != "off":
         name += f"_chain_{args.unit_chain}"
     if args.grouped_dense:
@@ -190,7 +228,8 @@ def main():
         if args.grouped_merge:
             name += f"{args.grouped_merge}"
     if args.bn_subsample > 1:
-        name += f"_bnsub{args.bn_subsample}"
+        name += (f"_bngroup{args.bn_subsample}" if args.bn_grouped
+                 else f"_bnsub{args.bn_subsample}")
     if args.remat_policy != "none":
         name += f"_remat_{args.remat_policy}"
     if args.dp_mode != "none":

@@ -56,6 +56,17 @@ class DataConfig:
     std_rgb: tuple = (58.393, 57.12, 57.375)
     preprocess_threads: int = 4
     prefetch_buffer: int = 2
+    # Train-canvas size (0 = auto: 8/7 of the output, e.g. 256 for 224).
+    # The host loader letterboxes each decoded image onto a square
+    # canvas_size x canvas_size uint8 canvas and the on-device augmenter
+    # crops from THAT, so a random crop of a source larger than the canvas
+    # is double-resampled (orig -> canvas -> 224). The reference's CPU
+    # augmenter crops the full decoded image instead
+    # (mxnet:src/io/image_aug_default.cc). For shorter-side-256 packs (the
+    # standard recipe; im2rec --resize 256) the deviation is small; raise
+    # this (288/320) to shrink it at a measured H2D/aug throughput cost
+    # (PERF_NOTES.md canvas sweep).
+    canvas_size: int = 0
     shuffle: bool = True
     # Pipeline selection: 'synthetic' | 'memory' | 'record'
     pipeline: str = "record"
@@ -97,6 +108,11 @@ class TrainConfig:
     model_prefix: str = "checkpoints/resnet"
     load_epoch: Optional[int] = None
     auto_resume: bool = False         # resume from the latest checkpoint
+    checkpoint_frequent: int = 0      # ALSO save every N batches (0 = off);
+                                      # mid-epoch saves carry the iterator
+                                      # cursor, so resume replays the exact
+                                      # remaining stream. SIGTERM always
+                                      # triggers one final mid-epoch save.
     begin_epoch: int = 0
     dtype: str = "float32"            # float32 | bfloat16
     remat: bool = False               # memonger equivalent (jax.checkpoint)
@@ -110,6 +126,10 @@ class TrainConfig:
     bn_subsample: int = 1             # BN stats from batch//s leading images
                                       # (s=8 at batch 256 = the reference's
                                       # per-GPU 32-image stats sample count)
+    bn_grouped: bool = False          # with bn_subsample s: normalize s
+                                      # INDEPENDENT groups, each with its own
+                                      # stats — the exact single-chip analog
+                                      # of the reference's per-GPU BatchNorm
     remat_policy: str = "none"        # "none"|"conv": selective remat — save
                                       # conv outs + BN stats, recompute the
                                       # elementwise chain in backward
@@ -231,6 +251,11 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--pipeline", choices=["synthetic", "memory", "record"],
                    default=None)
     p.add_argument("--preprocess-threads", type=int, default=None)
+    p.add_argument("--canvas-size", type=int, default=None,
+                   help="train letterbox canvas edge (0 = auto: 8/7 of "
+                        "the output size); larger canvases reduce the "
+                        "double-resample deviation vs the reference's "
+                        "full-image crops at some throughput cost")
     # augmentation knobs (ref: mx.io.ImageRecordIter kwargs)
     p.add_argument("--no-random-resized-crop", action="store_true",
                    default=None, help="classic scale-crop sampling instead")
@@ -262,6 +287,11 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--load-epoch", type=int, default=None)
     p.add_argument("--auto-resume", action="store_true", default=None,
                    help="resume from the latest checkpoint if present")
+    p.add_argument("--checkpoint-frequent", type=int, default=None,
+                   help="also checkpoint every N batches (with the data "
+                        "cursor; resume replays the exact remaining "
+                        "stream); SIGTERM always saves one final mid-epoch "
+                        "checkpoint")
     p.add_argument("--dtype", choices=["float32", "bfloat16"], default=None)
     p.add_argument("--remat", action="store_true", default=None,
                    help="gradient checkpointing (reference: --memonger)")
@@ -279,7 +309,13 @@ def build_parser() -> argparse.ArgumentParser:
                         "dense block (0 = all)")
     p.add_argument("--bn-subsample", type=int, default=None,
                    help="compute BN stats over batch//s leading images "
-                        "(reference parity: per-GPU BN sees batch//8)")
+                        "(matches the reference's per-GPU BN stats SAMPLE "
+                        "COUNT; combine with --bn-grouped for its exact "
+                        "grouping semantics)")
+    p.add_argument("--bn-grouped", action="store_true", default=None,
+                   help="with --bn-subsample s: normalize s independent "
+                        "groups, each with its own batch stats — the exact "
+                        "single-chip analog of per-GPU BatchNorm")
     p.add_argument("--remat-policy", choices=["none", "conv"], default=None,
                    help="selective remat: save conv outputs + BN stats, "
                         "recompute normalize/relu in backward")
@@ -319,6 +355,7 @@ def config_from_args(args: argparse.Namespace) -> Config:
     if args.pipeline is not None: d["pipeline"] = args.pipeline
     if args.preprocess_threads is not None:
         d["preprocess_threads"] = args.preprocess_threads
+    if args.canvas_size is not None: d["canvas_size"] = args.canvas_size
     if args.no_random_resized_crop: d["random_resized_crop"] = False
     if args.min_random_area is not None:
         d["min_random_area"] = args.min_random_area
@@ -354,6 +391,8 @@ def config_from_args(args: argparse.Namespace) -> Config:
     if args.model_prefix is not None: t["model_prefix"] = args.model_prefix
     if args.load_epoch is not None: t["load_epoch"] = args.load_epoch
     if args.auto_resume: t["auto_resume"] = True
+    if args.checkpoint_frequent is not None:
+        t["checkpoint_frequent"] = args.checkpoint_frequent
     if args.dtype is not None: t["dtype"] = args.dtype
     if args.remat: t["remat"] = True
     if args.fused_convbn: t["fused_convbn"] = True
@@ -361,6 +400,7 @@ def config_from_args(args: argparse.Namespace) -> Config:
     if args.grouped_dense: t["grouped_dense"] = True
     if args.grouped_merge is not None: t["grouped_merge"] = args.grouped_merge
     if args.bn_subsample is not None: t["bn_subsample"] = args.bn_subsample
+    if args.bn_grouped: t["bn_grouped"] = True
     if args.remat_policy is not None: t["remat_policy"] = args.remat_policy
     if args.xla_opts is not None: t["xla_opts"] = args.xla_opts
     if args.check_numerics: t["check_numerics"] = True

@@ -63,7 +63,12 @@ def get_model(cfg: Config, dtype: Any = None, remat: bool = None,
     grouped_dense = getattr(cfg.train, "grouped_dense", False)
     grouped_merge = getattr(cfg.train, "grouped_merge", 0)
     bn_subsample = getattr(cfg.train, "bn_subsample", 1)
+    bn_grouped = getattr(cfg.train, "bn_grouped", False)
     remat_policy = getattr(cfg.train, "remat_policy", "none")
+    if bn_grouped and bn_subsample <= 1:
+        raise ValueError(
+            "--bn-grouped needs --bn-subsample > 1 (the number of "
+            "independent normalization groups)")
     if unit_chain != "off" and (bn_subsample > 1
                                 or remat_policy == "conv"):
         # the chain dataflow computes full-batch stats in its epilogues
@@ -92,5 +97,6 @@ def get_model(cfg: Config, dtype: Any = None, remat: bool = None,
         grouped_dense=grouped_dense,
         grouped_merge=grouped_merge,
         bn_subsample=bn_subsample,
+        bn_grouped=bn_grouped,
         pallas_interpret=pallas_interpret,
     )

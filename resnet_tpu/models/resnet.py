@@ -159,40 +159,58 @@ def _conv_or_dot(features, kernel_size, strides=(1, 1), dtype=jnp.float32,
 
 
 def _norm(mom: float, eps: float, dtype, name: str, use_scale: bool = True,
-          subsample: int = 1, tag_stats: bool = False):
+          subsample: int = 1, tag_stats: bool = False,
+          grouped: bool = False):
     """BatchNorm matching MXNet semantics: momentum 0.9 EMA on running stats.
 
     MXNet ``BatchNorm(momentum=m)`` updates ``moving = m*moving + (1-m)*batch``
     — identical to flax's convention. ``use_scale=False`` emulates the
     reference's ``fix_gamma=True``. ``subsample > 1`` computes batch
-    statistics over a leading sub-batch (SubsampleBatchNorm);
-    ``tag_stats`` marks the batch stats as remat-saveable (``bn_stats``
-    checkpoint name) so a selective-remat policy keeps the tiny per-channel
-    reductions instead of re-running full-activation sweeps in backward.
+    statistics over a leading sub-batch (SubsampleBatchNorm), or — with
+    ``grouped`` — normalizes ``subsample`` independent sub-batches each with
+    its own statistics (the exact single-chip analog of the reference's
+    per-GPU BatchNorm; see SubsampleBatchNorm). ``tag_stats`` marks the batch
+    stats as remat-saveable (``bn_stats`` checkpoint name) so a
+    selective-remat policy keeps the tiny per-channel reductions instead of
+    re-running full-activation sweeps in backward.
     """
     if subsample > 1 or tag_stats:
         return partial(
             SubsampleBatchNorm, momentum=mom, epsilon=eps, dtype=dtype,
             use_scale=use_scale, subsample=subsample, tag_stats=tag_stats,
-            name=name)
+            grouped=grouped, name=name)
     return partial(
         nn.BatchNorm, momentum=mom, epsilon=eps, dtype=dtype,
         use_scale=use_scale, name=name)
 
 
 class SubsampleBatchNorm(nn.Module):
-    """BatchNorm whose train-mode statistics come from the first
-    ``batch // subsample`` images of the batch.
+    """BatchNorm with sub-batch train-mode statistics, in two flavors.
 
-    Parity rationale: the reference's BatchNorm is per-GPU — kvstore
-    'device' splits the global batch over the GPUs, so each BN layer's
-    statistics are computed from a (e.g.) 32-image sub-batch of the
-    256-image global batch (SURVEY.md §7 hard-part 3). On one chip,
-    ``subsample=8`` reproduces exactly that statistics sample count while
-    reading 1/8 of the activation bytes in the stats reduce — the fwd BN
-    sweeps were ~16 ms/step of the R50 HBM traffic (PERF_NOTES.md).
-    Normalization still covers the full batch; EMA/eval semantics are
-    identical to nn.BatchNorm. Param/variable tree identical.
+    Background: the reference's BatchNorm is per-GPU — kvstore 'device'
+    splits the global batch over the GPUs, so each BN layer's statistics
+    come from a (e.g.) 32-image sub-batch of the 256-image global batch
+    (SURVEY.md §7 hard-part 3, mxnet:src/operator/nn/batch_norm per-device
+    semantics). On one chip:
+
+    - ``grouped=False`` (bnsub): statistics from the FIRST ``batch //
+      subsample`` images, applied to the whole batch. This matches the
+      reference's statistics *sample count* (32 images at bs256, s=8) but
+      NOT its grouping semantics — all images share one sub-batch's stats.
+      It reads 1/subsample of the activation bytes in the stats reduce
+      (the fwd BN sweeps were ~16 ms/step of R50 HBM traffic,
+      PERF_NOTES.md), which is why it is the fastest mode.
+    - ``grouped=True`` (per-GPU parity): the batch is split into
+      ``subsample`` contiguous groups and EACH group is normalized with
+      its own statistics — bitwise the semantics of running the model
+      data-parallel over ``subsample`` devices with per-replica BN
+      (verified against an 8-device shard_map run in
+      tests/test_bn_subsample.py). The EMA is updated with the mean of
+      the group statistics, which equals the average of per-device EMAs
+      the reference materializes at get_params time.
+
+    Eval semantics are identical to nn.BatchNorm in both flavors, and the
+    param/variable tree is identical (checkpoints interchange).
     """
 
     momentum: float = 0.9
@@ -200,6 +218,7 @@ class SubsampleBatchNorm(nn.Module):
     dtype: Any = jnp.float32
     use_scale: bool = True
     subsample: int = 8
+    grouped: bool = False
     tag_stats: bool = False   # checkpoint_name the batch stats "bn_stats"
 
     @nn.compact
@@ -215,22 +234,53 @@ class SubsampleBatchNorm(nn.Module):
                             jnp.float32) if self.use_scale else None)
         bias = self.param("bias", nn.initializers.zeros, (feat,),
                           jnp.float32)
+
+        def _tag(m, v):
+            if self.tag_stats:
+                from jax.ad_checkpoint import checkpoint_name
+                return (checkpoint_name(m, "bn_stats"),
+                        checkpoint_name(v, "bn_stats"))
+            return m, v
+
+        def _ema(mean, var):
+            if not self.is_initializing():
+                m = self.momentum
+                ra_mean.value = m * ra_mean.value + (1 - m) * mean
+                ra_var.value = m * ra_var.value + (1 - m) * var
+
+        if not use_running_average and self.grouped and self.subsample > 1:
+            n = x.shape[0]
+            g = min(self.subsample, n)
+            if n % g:
+                raise ValueError(
+                    f"grouped BN: batch {n} not divisible by {g} groups")
+            xs = x.astype(jnp.float32).reshape(g, n // g, *x.shape[1:])
+            red = tuple(range(1, xs.ndim - 1))
+            gmean = jnp.mean(xs, axis=red)                      # (g, C)
+            # clamp: E[x^2]-mean^2 can go negative by float cancellation
+            # (small groups make it likelier) — same guard as flax
+            gvar = jnp.maximum(
+                0.0, jnp.mean(xs * xs, axis=red) - gmean * gmean)
+            gmean, gvar = _tag(gmean, gvar)
+            _ema(jnp.mean(gmean, 0), jnp.mean(gvar, 0))
+            inv = jax.lax.rsqrt(gvar + self.epsilon)
+            if scale is not None:
+                inv = inv * scale
+            bshape = (g,) + (1,) * (xs.ndim - 2) + (feat,)
+            out = (xs - gmean.reshape(bshape)) * inv.reshape(bshape) + bias
+            return out.reshape(x.shape).astype(self.dtype)
+
         if use_running_average:
             mean, var = ra_mean.value, ra_var.value
         else:
             k = max(1, x.shape[0] // self.subsample)
             xs = x[:k].astype(jnp.float32)
             mean = jnp.mean(xs, axis=tuple(range(xs.ndim - 1)))
-            var = jnp.mean(
-                xs * xs, axis=tuple(range(xs.ndim - 1))) - mean * mean
-            if self.tag_stats:
-                from jax.ad_checkpoint import checkpoint_name
-                mean = checkpoint_name(mean, "bn_stats")
-                var = checkpoint_name(var, "bn_stats")
-            if not self.is_initializing():
-                m = self.momentum
-                ra_mean.value = m * ra_mean.value + (1 - m) * mean
-                ra_var.value = m * ra_var.value + (1 - m) * var
+            var = jnp.maximum(
+                0.0, jnp.mean(
+                    xs * xs, axis=tuple(range(xs.ndim - 1))) - mean * mean)
+            mean, var = _tag(mean, var)
+            _ema(mean, var)
         inv = jax.lax.rsqrt(var + self.epsilon)
         if scale is not None:
             inv = inv * scale
@@ -263,6 +313,7 @@ class ResidualUnit(nn.Module):
     grouped_dense: bool = False   # grouped 3x3 as block-diagonal dense conv
     grouped_merge: int = 0        # groups fused per dense block (0 = all)
     bn_subsample: int = 1         # BN stats from batch//s leading images
+    bn_grouped: bool = False      # s independent groups (per-GPU parity)
     tag_remat: bool = False       # checkpoint_name conv outs / BN stats for
                                   # the selective-remat policy (ResNet below)
     pallas_interpret: bool = False
@@ -298,7 +349,7 @@ class ResidualUnit(nn.Module):
         conv = lambda *a, **kw: (lambda x_: tag(raw_conv(*a, **kw)(x_)))
         bn = lambda name, scale=True: _norm(
             self.bn_mom, self.bn_eps, self.dtype, name, scale,
-            self.bn_subsample, self.tag_remat)()
+            self.bn_subsample, self.tag_remat, self.bn_grouped)()
         relu = nn.relu
         ra = not train
 
@@ -414,6 +465,7 @@ class ResNet(nn.Module):
     grouped_dense: bool = False   # grouped 3x3 as block-diagonal dense conv
     grouped_merge: int = 0        # groups fused per dense block (0 = all)
     bn_subsample: int = 1         # BN stats from batch//s leading images
+    bn_grouped: bool = False      # s independent groups (per-GPU parity)
     pallas_interpret: bool = False
     conv1x1_as_dot: bool = False  # lower 1x1 convs as reshaped matmuls
 
@@ -423,7 +475,7 @@ class ResNet(nn.Module):
                        dtype=self.dtype)
         bn = lambda name, scale=True: _norm(
             self.bn_mom, self.bn_eps, self.dtype, name, scale,
-            self.bn_subsample)()
+            self.bn_subsample, grouped=self.bn_grouped)()
         ra = not train
 
         x = x.astype(self.dtype)
@@ -490,6 +542,7 @@ class ResNet(nn.Module):
                     grouped_dense=self.grouped_dense,
                     grouped_merge=self.grouped_merge,
                     bn_subsample=self.bn_subsample,
+                    bn_grouped=self.bn_grouped,
                     tag_remat=tag_remat,
                     pallas_interpret=self.pallas_interpret,
                     conv1x1_as_dot=self.conv1x1_as_dot,

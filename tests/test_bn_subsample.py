@@ -96,3 +96,130 @@ class TestSubsampleBatchNorm:
         # train mode runs and mutates stats
         y, m = sub.apply(v, x, train=True, mutable=["batch_stats"])
         assert np.isfinite(np.asarray(y)).all()
+
+
+class TestGroupedBatchNorm:
+    """GroupedBN (bn_grouped): per-GPU BatchNorm semantics on one chip.
+
+    The reference normalizes each device's 32-image sub-batch with that
+    sub-batch's own statistics (mxnet:src/operator/nn/batch_norm is
+    per-device; kvstore only reduces gradients). grouped=True reproduces
+    exactly that on a single device.
+    """
+
+    def test_each_group_matches_batchnorm_on_its_chunk(self):
+        x = jax.random.normal(jax.random.key(10), (8, 4, 4, 3)) * 3 - 1
+        ours = SubsampleBatchNorm(momentum=0.9, epsilon=1e-5, subsample=4,
+                                  grouped=True)
+        ref = nn.BatchNorm(momentum=0.9, epsilon=1e-5)
+        v = ours.init(jax.random.key(11), x, use_running_average=False)
+        yo, mo = ours.apply(v, x, use_running_average=False,
+                            mutable=["batch_stats"])
+        ref_means, ref_vars = [], []
+        for g in range(4):
+            chunk = x[2 * g:2 * g + 2]
+            yr, mr = ref.apply(v, chunk, use_running_average=False,
+                               mutable=["batch_stats"])
+            np.testing.assert_allclose(
+                np.asarray(yo[2 * g:2 * g + 2]), np.asarray(yr),
+                rtol=1e-4, atol=1e-5)
+            ref_means.append(np.asarray(mr["batch_stats"]["mean"]))
+            ref_vars.append(np.asarray(mr["batch_stats"]["var"]))
+        # EMA == average of the per-chunk EMA updates (the reference's
+        # get_params averages aux states across devices)
+        np.testing.assert_allclose(
+            np.asarray(mo["batch_stats"]["mean"]),
+            np.mean(ref_means, axis=0), rtol=1e-5, atol=1e-6)
+        np.testing.assert_allclose(
+            np.asarray(mo["batch_stats"]["var"]),
+            np.mean(ref_vars, axis=0), rtol=1e-5, atol=1e-6)
+
+    def test_eval_identical_to_batchnorm(self):
+        x = jax.random.normal(jax.random.key(12), (4, 4, 4, 3))
+        ours = SubsampleBatchNorm(subsample=4, grouped=True, epsilon=1e-5)
+        ref = nn.BatchNorm(momentum=0.9, epsilon=1e-5)
+        v = ours.init(jax.random.key(13), x, use_running_average=False)
+        np.testing.assert_allclose(
+            np.asarray(ours.apply(v, x, use_running_average=True)),
+            np.asarray(ref.apply(v, x, use_running_average=True)),
+            rtol=1e-5, atol=1e-6)
+
+    def test_grouped_train_step_equals_shard_map_dp(self):
+        """THE parity proof: one device with bn_grouped(s=8) runs the
+        bitwise semantics of 8-way data parallelism with per-replica BN.
+
+        Every non-BN op in the network is per-image, so the only
+        cross-batch coupling is BN statistics — grouping the batch into 8
+        independent normalization groups on one device must reproduce the
+        8-device shard_map step (per-replica stats + pmean on grads/EMA)
+        up to reduction-order float noise.
+        """
+        import dataclasses
+
+        from resnet_tpu.config import Config
+        from resnet_tpu.parallel.mesh import make_mesh, shard_batch
+        from resnet_tpu.train.state import create_train_state
+        from resnet_tpu.train.steps import make_train_step
+
+        cfg = Config()
+        cfg.data = dataclasses.replace(
+            cfg.data, num_classes=10, image_shape=(16, 16, 3))
+        cfg.model = dataclasses.replace(cfg.model, depth=20,
+                                        dataset="cifar10")
+        cfg.train = dataclasses.replace(cfg.train, batch_size=16)
+
+        cfg_grouped = dataclasses.replace(
+            cfg, train=dataclasses.replace(cfg.train, bn_subsample=8,
+                                           bn_grouped=True))
+        rng = np.random.default_rng(3)
+        batch = {
+            "image": rng.standard_normal((16, 16, 16, 3)).astype(np.float32),
+            "label": rng.integers(0, 10, (16,), dtype=np.int32),
+        }
+
+        state_g = create_train_state(cfg_grouped)
+        step_g = make_train_step(mesh=None)
+        new_g, met_g = step_g(state_g, jax.device_put(batch))
+
+        mesh = make_mesh(8)
+        state_s = create_train_state(cfg)   # plain BN inside each replica
+        step_s = make_train_step(mesh=mesh, dp_mode="shard_map")
+        new_s, met_s = step_s(state_s, shard_batch(mesh, batch))
+
+        met_g, met_s = jax.device_get((met_g, met_s))
+        for k in met_g:
+            np.testing.assert_allclose(met_g[k], met_s[k], rtol=1e-4,
+                                       atol=1e-4, err_msg=k)
+        flat_g = jax.tree_util.tree_leaves_with_path(
+            jax.device_get((new_g.params, new_g.batch_stats)))
+        flat_s = jax.tree_util.tree_leaves_with_path(
+            jax.device_get((new_s.params, new_s.batch_stats)))
+        assert len(flat_g) == len(flat_s)
+        for (pg, lg), (ps, ls) in zip(flat_g, flat_s):
+            assert pg == ps
+            np.testing.assert_allclose(
+                np.asarray(lg), np.asarray(ls), rtol=2e-3, atol=2e-5,
+                err_msg=jax.tree_util.keystr(pg))
+
+    def test_model_tree_and_guard(self):
+        from resnet_tpu.config import Config
+        from resnet_tpu.models.registry import get_model
+        import dataclasses
+        import pytest
+
+        cfg = Config()
+        cfg.train = dataclasses.replace(cfg.train, bn_grouped=True,
+                                        bn_subsample=1)
+        with pytest.raises(ValueError, match="bn-grouped"):
+            get_model(cfg)
+
+        kw = dict(units=(1, 1), filters=(8, 16, 32), num_classes=10,
+                  bottleneck=True, version=1, cifar_stem=True)
+        base = ResNet(**kw)
+        grp = ResNet(bn_subsample=4, bn_grouped=True, **kw)
+        x = jax.random.normal(jax.random.key(14), (8, 16, 16, 3))
+        v = base.init(jax.random.key(15), x, train=False)
+        v2 = grp.init(jax.random.key(15), x, train=False)
+        assert jax.tree.structure(v) == jax.tree.structure(v2)
+        y, _ = grp.apply(v, x, train=True, mutable=["batch_stats"])
+        assert np.isfinite(np.asarray(y)).all()

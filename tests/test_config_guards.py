@@ -48,5 +48,11 @@ def test_solver_rescales_bn_subsample_under_shard_map():
     cfg.train.bn_subsample = 8
     cfg.train.model_prefix = ""
     assert cfg.train.num_devices == 8
-    Solver(cfg)
-    assert cfg.train.bn_subsample == 1
+    solver = Solver(cfg)
+    # the Solver's private copy carries the effective value...
+    assert solver.cfg.train.bn_subsample == 1
+    # ...and the caller's cfg is untouched (a second Solver built from the
+    # same object must see the same knobs — no in-place rescale)
+    assert cfg.train.bn_subsample == 8
+    solver2 = Solver(cfg)
+    assert solver2.cfg.train.bn_subsample == 1
