@@ -34,6 +34,18 @@ class DataIter:
     def state_dict(self) -> dict:
         return {}
 
+    def cursor_state(self, nbatch: int) -> dict:
+        """Checkpoint cursor for "the first ``nbatch`` batches of the
+        current epoch were CONSUMED by the trainer".
+
+        Distinct from ``state_dict()`` because prefetching runs this
+        iterator ahead of the train step — a mid-epoch save must record
+        the consumed position, not the produced one, or resume would skip
+        batches that were never trained on. ``state_dict()`` remains the
+        epoch-boundary snapshot (production == consumption there).
+        """
+        return self.state_dict()
+
     def load_state_dict(self, state: dict) -> None:
         pass
 
@@ -85,15 +97,29 @@ class MemoryIter(DataIter):
         else:
             self.steps_per_epoch = (n + batch_size - 1) // batch_size
         self.pad_last = pad_last
+        self._epoch = 0
+        self._batches_done = 0
+        self._resume = None   # (epoch, batch) to seek on epoch_iter
 
     def epoch_iter(self, epoch: int):
+        self._epoch = epoch
+        self._batches_done = 0
         n = len(self.images)
         order = np.arange(n)
         if self.shuffle:
             np.random.default_rng((self.seed, epoch)).shuffle(order)
         bs = self.batch_size
-        for step in range(self.steps_per_epoch):
+        start = 0
+        if self._resume and self._resume[0] == epoch and self._resume[1]:
+            # mid-epoch resume: the (seed, epoch) order is deterministic,
+            # so skipping the first B batches replays the identical
+            # remaining stream (SURVEY.md §3.4 restart quirk, exceeded)
+            start = min(self._resume[1], self.steps_per_epoch)
+            self._batches_done = start
+        self._resume = None
+        for step in range(start, self.steps_per_epoch):
             idx = order[step * bs:(step + 1) * bs]
+            self._batches_done = step + 1
             batch = {"image": self.images[idx], "label": self.labels[idx]}
             if len(idx) < bs and self.pad_last:
                 pad = bs - len(idx)
@@ -109,6 +135,18 @@ class MemoryIter(DataIter):
             elif self.pad_last:
                 batch["mask"] = np.ones(bs, np.float32)
             yield batch
+
+    def state_dict(self) -> dict:
+        return {"epoch": self._epoch, "batch": self._batches_done}
+
+    def cursor_state(self, nbatch: int) -> dict:
+        # the (seed, epoch) order is deterministic, so the consumed-batch
+        # count alone pins the resume point exactly
+        return {"epoch": self._epoch, "batch": nbatch}
+
+    def load_state_dict(self, state: dict) -> None:
+        self._epoch = state.get("epoch", 0)
+        self._resume = (self._epoch, state.get("batch", 0))
 
 
 def synthetic_cifar(num_examples: int = 2048, num_classes: int = 10,

@@ -35,11 +35,22 @@ from typing import Iterator, List, Optional, Tuple
 
 import numpy as np
 
+from resnet_tpu.config import DataConfig
 from resnet_tpu.data.loader import DataIter
 
 
-def canvas_size(out_hw: Tuple[int, int]) -> Tuple[int, int]:
-    """256 for 224 (the standard 8/7), identity for small (CIFAR) inputs."""
+def canvas_size(out_hw: Tuple[int, int],
+                override: int = 0) -> Tuple[int, int]:
+    """256 for 224 (the standard 8/7), identity for small (CIFAR) inputs.
+
+    ``override`` (cfg.data.canvas_size) pins the train canvas edge
+    directly — a fidelity/throughput knob: larger canvases preserve more
+    source resolution for the on-device crop (less double-resampling vs
+    the reference's full-image CPU crops) at a higher decode-resize, H2D
+    and augment cost (measured sweep: PERF_NOTES.md).
+    """
+    if override:
+        return override, override
     h, w = out_hw
     if h <= 64 and w <= 64:
         return h, w
@@ -74,12 +85,21 @@ class RecordIter(DataIter):
         d, t = cfg.data, cfg.train
         recs = resolve_shards(d.data_dir, d.train_rec if train else d.val_rec)
         # honor an explicitly configured index file for a single-file rec
-        # (cfg.data.train_idx/val_idx); sharded sets derive per-shard names
-        cfg_idx = os.path.join(d.data_dir, d.train_idx if train else d.val_idx)
+        # (cfg.data.train_idx/val_idx); sharded sets derive per-shard names.
+        # The configured name only WINS over the rec's own derived sibling
+        # .idx when the user actually set it (name differs from the
+        # dataclass default) or the sibling is absent — otherwise a stale
+        # default-named train.idx from another dataset in the same dir
+        # would silently pair with custom.rec and corrupt every offset.
+        cfg_name = d.train_idx if train else d.val_idx
+        default_name = (DataConfig.train_idx if train else DataConfig.val_idx)
+        cfg_idx = os.path.join(d.data_dir, cfg_name)
         idxs = []
         for rec in recs:
             idx = rec[:-4] + ".idx" if rec.endswith(".rec") else rec + ".idx"
-            if len(recs) == 1 and os.path.exists(cfg_idx):
+            if (len(recs) == 1 and os.path.exists(cfg_idx)
+                    and (cfg_name != default_name
+                         or not os.path.exists(idx))):
                 idx = cfg_idx
             idxs.append(idx if os.path.exists(idx) else "")
         self.train = train
@@ -88,7 +108,11 @@ class RecordIter(DataIter):
         # batch_size is GLOBAL; each host decodes its 1/num_parts slice
         self.batch_size = t.batch_size // max(num_parts, 1)
         self.prefetch_buffer = max(1, d.prefetch_buffer)
-        self.canvas_hw = canvas_size(d.image_shape[:2])
+        # the canvas override is a TRAIN fidelity knob; the val transform
+        # stays at the reference's fixed resize-256/center-crop-224
+        self.canvas_hw = canvas_size(
+            d.image_shape[:2],
+            override=getattr(d, "canvas_size", 0) if train else 0)
 
         from resnet_tpu.data.native import make_record_loader
         self.loader = make_record_loader(
@@ -139,6 +163,7 @@ class RecordIter(DataIter):
         self._records_done = 0
         self.loader.begin_epoch(epoch, self.shuffle, self.seed)
         start_batch = 0
+        start_record = 0
         if self._resume and self._resume[0] == epoch and self._resume[1]:
             # mid-epoch resume: seek the deterministic stream by RECORDS
             # consumed (not batch*bs — corrupt-record drops make a batch
@@ -149,10 +174,20 @@ class RecordIter(DataIter):
             self._batches_done = start_batch
             self._records_done = start_record
         self._resume = None
+        # batch-index -> cumulative records map for cursor_state(): the
+        # prefetch queue pulls this generator AHEAD of the train step, so a
+        # mid-epoch checkpoint needs the record count as of the CONSUMED
+        # batch, not the latest produced one
+        self._cursor_hist = {start_batch: start_record}
         q: queue.Queue = queue.Queue(maxsize=self.prefetch_buffer)
         stop = threading.Event()
 
         def producer():
+            # producer-local cumulative count: the self._records_done
+            # fallback would read a consumer-updated field from this thread
+            # and undercount by up to the prefetch depth (corrupting the
+            # mid-epoch resume seek for loaders lacking records_consumed)
+            local_consumed = start_record
             try:
                 for _ in range(self.steps_per_epoch - start_batch):
                     if stop.is_set():
@@ -165,9 +200,9 @@ class RecordIter(DataIter):
                         # on a zero-padded batch would bias gradients, and
                         # a new 'mask' pytree key would recompile the step
                         break
+                    local_consumed += len(out[0])
                     consumed = getattr(self.loader, "records_consumed",
-                                       self._records_done
-                                       + len(out[0]))
+                                       local_consumed)
                     q.put((self._to_batch(*out), consumed))
             finally:
                 q.put(None)
@@ -182,6 +217,7 @@ class RecordIter(DataIter):
                 batch, consumed = item
                 self._batches_done += 1
                 self._records_done = consumed
+                self._cursor_hist[self._batches_done] = consumed
                 yield batch
         finally:
             stop.set()
@@ -220,6 +256,19 @@ class RecordIter(DataIter):
     def state_dict(self) -> dict:
         return {"epoch": self._epoch, "batch": self._batches_done,
                 "record": self._records_done}
+
+    def cursor_state(self, nbatch: int) -> dict:
+        """Cursor for "``nbatch`` batches consumed" (see DataIter docs).
+
+        The record count comes from the per-batch history; for batches
+        produced before this process (shouldn't happen) fall back to the
+        no-drop estimate nbatch*batch_size.
+        """
+        hist = getattr(self, "_cursor_hist", {})
+        record = hist.get(nbatch, nbatch * self.batch_size)
+        for k in [k for k in hist if k < nbatch]:   # prune consumed entries
+            del hist[k]
+        return {"epoch": self._epoch, "batch": nbatch, "record": record}
 
     def load_state_dict(self, state: dict) -> None:
         self._epoch = state.get("epoch", 0)

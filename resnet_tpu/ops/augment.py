@@ -23,6 +23,19 @@ Semantics (parity-critical, ref kwargs in parentheses):
 
 The per-example randomness derives from a single per-step jax PRNG key —
 deterministic and replayable, unlike the reference's C++ thread-local RNGs.
+
+Known fidelity deviation (train canvas): the host loader letterboxes each
+decoded image onto a fixed uint8 canvas (default 256x256,
+cfg.data.canvas_size to raise) and the crop executes on THAT, with the
+sampling domain mapped back to the full original image via per-image dims.
+The crop *distribution* is therefore exact, but the pixel *content* of a
+crop taken from a source larger than the canvas is double-resampled
+(orig -> canvas -> 224), which the reference's CPU augmenter — cropping
+the full decoded image (mxnet:src/io/image_aug_default.cc) — does not do.
+For shorter-side-256 packs (the standard recipe; im2rec --resize 256) the
+canvas loses little (e.g. a 256x341 source letterboxes to 192x256 eff),
+and raising --canvas-size to 288/320 shrinks the loss further at a
+measured throughput cost (PERF_NOTES.md canvas sweep).
 """
 
 from __future__ import annotations

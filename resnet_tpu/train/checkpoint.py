@@ -33,8 +33,19 @@ def _manager(model_prefix: str, max_to_keep: Optional[int] = None):
 
 def save_checkpoint(model_prefix: str, epoch: int, state: TrainState,
                     iter_state: Optional[dict] = None,
-                    max_to_keep: Optional[int] = None) -> None:
-    """Epoch-end save (ref: epoch_end_callback do_checkpoint)."""
+                    max_to_keep: Optional[int] = None,
+                    force: bool = False) -> None:
+    """Epoch-end save (ref: epoch_end_callback do_checkpoint).
+
+    ``force`` overwrites an existing step — mid-epoch saves
+    (``--checkpoint-frequent`` / SIGTERM) reuse the completed-epoch count
+    as their step and carry the intra-epoch progress in ``iter_state``,
+    so successive saves within one epoch land on the same step number.
+    Orbax cannot replace a step in place (its ``force`` only bypasses
+    should_save), so overwrite = delete + save; a crash in that window
+    falls back to the previous epoch-boundary checkpoint — still no worse
+    than the reference, which only ever has epoch granularity.
+    """
     payload = {
         "step": state.step,
         "params": state.params,
@@ -43,9 +54,12 @@ def save_checkpoint(model_prefix: str, epoch: int, state: TrainState,
         "rng": state.rng,
     }
     with _manager(model_prefix, max_to_keep) as mgr:
+        if force and epoch in mgr.all_steps():
+            mgr.delete(epoch)
         mgr.save(epoch, args=ocp.args.Composite(
             state=ocp.args.StandardSave(payload),
-            iter_state=ocp.args.JsonSave(iter_state or {})))
+            iter_state=ocp.args.JsonSave(iter_state or {})),
+            force=force)
         mgr.wait_until_finished()
 
 

@@ -66,7 +66,6 @@ class Solver:
     """fit(train_iter, eval_iter) driver (ref:core/solver.py)."""
 
     def __init__(self, cfg: Config, log_file: Optional[str] = None):
-        self.cfg = cfg
         self.log = setup_logging(log_file)
         if jax.process_index() != 0:
             # head-node-only logging (ref: dist workers log on rank 0)
@@ -86,18 +85,22 @@ class Solver:
                 "sync_bn requires --dp-mode jit (global-batch BN); "
                 "--dp-mode shard_map is per-replica BN like MXNet per-GPU")
         if (t.bn_subsample > 1 and t.dp_mode == "shard_map" and n_dev > 1):
-            # bn_subsample is a fraction of the PER-REPLICA batch; under
-            # shard_map the batch is already split n_dev ways, so keep the
-            # intended absolute stats-sample count (batch/s images) by
-            # rescaling instead of double-subsampling
+            # bn_subsample counts sub-batches of the PER-REPLICA batch;
+            # under shard_map the batch is already split n_dev ways, so keep
+            # the intended absolute stats-sample count (batch/s images) by
+            # rescaling. The caller's cfg is left untouched (a second Solver
+            # built from the same object must see the same knobs) — the
+            # effective value lives in this Solver's private copy.
             eff = max(1, t.bn_subsample // n_dev)
-            self_log_note = (f"bn_subsample {t.bn_subsample} -> {eff} under "
-                             f"{n_dev}-way shard_map (per-replica batches)")
-            t.bn_subsample = eff
-        else:
-            self_log_note = None
-        if self_log_note:
-            self.log.info(self_log_note)
+            self.log.info(
+                "bn_subsample %d -> %d under %d-way shard_map "
+                "(per-replica batches)", t.bn_subsample, eff, n_dev)
+            import dataclasses as _dc
+            cfg = cfg.replace(train=_dc.replace(t, bn_subsample=eff))
+            t = cfg.train
+        self.cfg = cfg
+        self._sigterm = False
+        self.iter_state = {}
         aug_fn, eval_fn = _augment_fns(cfg)
         from resnet_tpu.utils.xla_opts import compiler_options
         xla_opts = compiler_options(getattr(t, "xla_opts", None))
@@ -146,7 +149,7 @@ class Solver:
     # -- loops ------------------------------------------------------------
 
     def train_epoch(self, state: TrainState, train_iter: DataIter,
-                    epoch: int) -> TrainState:
+                    epoch: int, start_nbatch: int = 0) -> TrainState:
         t = self.cfg.train
         # `win` resets after every Speedometer log (the reference's
         # auto_reset per-window metrics); `acc` accumulates the whole epoch
@@ -154,13 +157,26 @@ class Solver:
         win, acc = MetricAccumulator(), MetricAccumulator()
         self.speedometer.reset()
         window = []   # device-resident metric dicts; synced only at log time
-        nbatch = 0
+        nbatch = start_nbatch   # nonzero on mid-epoch resume
         for batch in prefetch_to_device(
                 train_iter.epoch_iter(epoch),
                 size=self.cfg.data.prefetch_buffer, mesh=self.mesh):
             state, metrics = self.train_step(state, batch)
             nbatch += 1
             window.append(metrics)
+            if t.checkpoint_frequent and t.model_prefix \
+                    and nbatch % t.checkpoint_frequent == 0:
+                self._save_mid_epoch(state, train_iter, epoch, nbatch)
+            if self._sigterm:
+                # save the exact position (state + data cursor) and exit;
+                # a relaunch with --auto-resume replays the identical
+                # remaining stream (SURVEY.md §3.4 "match or exceed")
+                if t.model_prefix:
+                    self._save_mid_epoch(state, train_iter, epoch, nbatch)
+                self.log.warning(
+                    "SIGTERM: checkpointed epoch %d batch %d; exiting",
+                    epoch, nbatch)
+                raise SystemExit(143)
             if nbatch % t.frequent == 0:
                 # the ONLY sync in the hot loop: pull `frequent` batches of
                 # scalar sums at once (MXNet syncs outputs per batch for
@@ -203,30 +219,72 @@ class Solver:
                       m["cross-entropy"])
         return m
 
+    def _save_mid_epoch(self, state: TrainState, train_iter: DataIter,
+                        epoch: int, nbatch: int) -> None:
+        """Batch-granular save: orbax step = completed-epoch count (epoch),
+        intra-epoch progress rides in iter_state — so ``--auto-resume``
+        restarts at begin_epoch=epoch and the iterator seeks to the exact
+        batch. ``force`` because successive saves in one epoch share the
+        step number."""
+        ckpt.save_checkpoint(
+            self.cfg.train.model_prefix, epoch, state,
+            iter_state=train_iter.cursor_state(nbatch), force=True)
+        self.log.info("Saved mid-epoch checkpoint (epoch %d, batch %d)",
+                      epoch, nbatch)
+
     def fit(self, train_iter: DataIter,
             eval_iter: Optional[DataIter] = None,
             num_epochs: Optional[int] = None) -> TrainState:
         """The training entry (ref: Module.fit / Solver.fit)."""
+        import signal
+        import threading
+
         t = self.cfg.train
         state = self.init_state()
         train_iter.load_state_dict(self.iter_state)  # replay data stream
         num_epochs = num_epochs or t.num_epochs
         from resnet_tpu.utils.profiler import maybe_trace
-        for epoch in range(self.begin_epoch, num_epochs):
-            tic = time.perf_counter()
-            if epoch == self.begin_epoch:
-                # mx.profiler AUTOSTART analog: RESNET_TPU_PROFILE=<logdir>
-                # traces the first epoch to TensorBoard/Perfetto
-                with maybe_trace():
+
+        # SIGTERM → one final mid-epoch save, then exit 143. The handler
+        # only flips a flag; the save happens at a batch boundary in
+        # train_epoch (a signal-safe point with a consistent state +
+        # cursor pair). Main-thread only: signal.signal raises elsewhere.
+        self._sigterm = False
+        prev_handler = None
+        in_main = threading.current_thread() is threading.main_thread()
+        if in_main and t.model_prefix:
+            def _on_term(signum, frame):
+                self._sigterm = True
+            prev_handler = signal.signal(signal.SIGTERM, _on_term)
+
+        try:
+            for epoch in range(self.begin_epoch, num_epochs):
+                tic = time.perf_counter()
+                # mid-epoch resume: keep batch numbering (Speedometer,
+                # logged lr, checkpoint cadence) aligned with the seeked
+                # data stream
+                start_nbatch = (self.iter_state.get("batch", 0)
+                                if (epoch == self.begin_epoch
+                                    and self.iter_state.get("epoch") == epoch)
+                                else 0)
+                start_nbatch = min(start_nbatch, train_iter.steps_per_epoch)
+                if epoch == self.begin_epoch:
+                    # mx.profiler AUTOSTART analog:
+                    # RESNET_TPU_PROFILE=<logdir> traces the first epoch
+                    with maybe_trace():
+                        state = self.train_epoch(state, train_iter, epoch,
+                                                 start_nbatch)
+                else:
                     state = self.train_epoch(state, train_iter, epoch)
-            else:
-                state = self.train_epoch(state, train_iter, epoch)
-            self.log.info("Epoch[%d] Time cost=%.3f", epoch,
-                          time.perf_counter() - tic)
-            if eval_iter is not None:
-                self.validate(state, eval_iter, epoch)
-            if t.model_prefix:
-                ckpt.save_checkpoint(
-                    t.model_prefix, epoch + 1, state,
-                    iter_state=train_iter.state_dict())
+                self.log.info("Epoch[%d] Time cost=%.3f", epoch,
+                              time.perf_counter() - tic)
+                if eval_iter is not None:
+                    self.validate(state, eval_iter, epoch)
+                if t.model_prefix:
+                    ckpt.save_checkpoint(
+                        t.model_prefix, epoch + 1, state,
+                        iter_state=train_iter.state_dict(), force=True)
+        finally:
+            if prev_handler is not None:
+                signal.signal(signal.SIGTERM, prev_handler)
         return state

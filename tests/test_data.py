@@ -288,6 +288,26 @@ class TestRecordIter:
         from resnet_tpu.data.pipeline import canvas_size
         assert canvas_size((224, 224)) == (256, 256)
         assert canvas_size((32, 32)) == (32, 32)
+        # fidelity override (cfg.data.canvas_size) pins the edge directly
+        assert canvas_size((224, 224), override=320) == (320, 320)
+
+    def test_canvas_size_override_flows_to_loader(self, tiny_imageset):
+        from resnet_tpu.config import Config
+        from resnet_tpu.data.pipeline import RecordIter
+        cfg = Config()
+        cfg.data.data_dir = tiny_imageset["root"]
+        cfg.data.train_rec = "train.rec"
+        cfg.data.image_shape = (32, 32, 3)
+        cfg.data.canvas_size = 48
+        cfg.train.batch_size = 4
+        it = RecordIter(cfg, train=True)
+        assert it.canvas_hw == (48, 48)
+        b = next(it.epoch_iter(0))
+        assert b["image"].shape[1:3] == (48, 48)
+        # val transform unaffected (reference resize-256/center-crop path)
+        cfg.data.val_rec = "train.rec"
+        val_it = RecordIter(cfg, train=False)
+        assert val_it.canvas_hw == (32, 32)
 
     def test_train_batches_carry_dims(self, tiny_imageset):
         from resnet_tpu.config import Config
@@ -327,6 +347,33 @@ class TestRecordIter:
         rest_resumed = [b["label"].tolist() for b in it2.epoch_iter(2)]
         assert rest_resumed == rest_original
         assert len(first) + len(rest_resumed) == it.steps_per_epoch
+
+    def test_cursor_state_tracks_consumed_not_produced(self, tiny_imageset):
+        """Mid-epoch checkpoints use cursor_state(nbatch): the prefetch
+        queue pulls the iterator AHEAD of the train step, so the cursor
+        for "n batches trained" must come from the per-batch history, not
+        the latest produced position — or resume would skip batches that
+        were never trained on."""
+        from resnet_tpu.config import Config
+        from resnet_tpu.data.pipeline import RecordIter
+        cfg = Config()
+        cfg.data.data_dir = tiny_imageset["root"]
+        cfg.data.train_rec = "train.rec"
+        cfg.data.image_shape = (32, 32, 3)
+        cfg.train.batch_size = 4
+        it = RecordIter(cfg, train=True)
+        gen = it.epoch_iter(1)
+        batches = [next(gen)["label"].tolist() for _ in range(3)]
+        # iterator has PRODUCED 3 batches; the trainer only consumed 1
+        cur = it.cursor_state(1)
+        assert cur == {"epoch": 1, "batch": 1, "record": 4}
+        assert it.state_dict()["batch"] == 3   # produced position differs
+        for _ in gen:
+            pass
+        it2 = RecordIter(cfg, train=True)
+        it2.load_state_dict(cur)
+        replay = [b["label"].tolist() for b in it2.epoch_iter(1)]
+        assert replay[:2] == batches[1:3]   # batches 2..3 replay exactly
 
     def test_multi_shard_record_iter(self, tiny_imageset, tmp_path):
         """RecordIter resolves an im2rec shard prefix to the full set."""

@@ -78,6 +78,8 @@ def measure_decode(prefix: str, threads: int, batch_size: int,
 
 
 def main():
+    from resnet_tpu.utils.platform import honor_jax_platforms
+    honor_jax_platforms()
     p = argparse.ArgumentParser()
     p.add_argument("--num-images", type=int, default=512)
     p.add_argument("--threads", type=int, default=4)

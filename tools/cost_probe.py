@@ -18,6 +18,8 @@ os.environ.setdefault("JAX_COMPILATION_CACHE_DIR",
 
 
 def main():
+    from resnet_tpu.utils.platform import honor_jax_platforms
+    honor_jax_platforms()
     p = argparse.ArgumentParser()
     p.add_argument("--variants", default="off,xla,pallas")
     p.add_argument("--batch", type=int, default=256)

@@ -69,6 +69,8 @@ def _iter_inputs(paths, canvas_hw, limit):
 
 
 def main(argv=None):
+    from resnet_tpu.utils.platform import honor_jax_platforms
+    honor_jax_platforms()
     p = argparse.ArgumentParser(description=__doc__)
     p.add_argument("--inputs", nargs="+", required=True,
                    help="image files, directories, or .rec shards")

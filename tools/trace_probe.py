@@ -66,6 +66,8 @@ def parse_trace(logdir: str, top: int, steps: int):
 
 
 def main():
+    from resnet_tpu.utils.platform import honor_jax_platforms
+    honor_jax_platforms()
     p = argparse.ArgumentParser()
     p.add_argument("--steps", type=int, default=5)
     p.add_argument("--warmup", type=int, default=3)

@@ -16,6 +16,8 @@ sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 
 def main(argv=None):
+    from resnet_tpu.utils.platform import honor_jax_platforms
+    honor_jax_platforms()
     from resnet_tpu.config import parse_config
     from resnet_tpu.data.loader import make_val_iter
     from resnet_tpu.parallel.dist import maybe_init_distributed, proc_info

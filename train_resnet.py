@@ -18,6 +18,12 @@ import sys
 
 
 def main(argv=None):
+    # honor an explicit JAX_PLATFORMS request: the axon sitecustomize on
+    # TPU boxes overrides the env var programmatically, which would send a
+    # JAX_PLATFORMS=cpu run to the TPU relay anyway (utils/platform.py)
+    from resnet_tpu.utils.platform import honor_jax_platforms
+    honor_jax_platforms()
+
     from resnet_tpu.config import parse_config
     from resnet_tpu.data.loader import make_train_iter, make_val_iter
     from resnet_tpu.parallel.dist import maybe_init_distributed, proc_info
