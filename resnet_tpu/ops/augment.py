@@ -342,11 +342,12 @@ def rotate_images(images: jnp.ndarray, rng, max_angle_deg: float,
     """Per-example affine warp about the image center: rotation by
     U[-a, a] degrees composed with horizontal shear by U[-s, s]
     (ref: max_rotate_angle / max_shear_ratio — MXNet's default augmenter
-    folds both into one warpAffine). Bilinear gathers via
-    map_coordinates — the warp is not separable, so the matmul trick
-    doesn't apply; this path only runs when a knob is enabled (MXNet
-    defaults: 0)."""
-    from jax.scipy.ndimage import map_coordinates
+    folds both into one warpAffine). The warp is not separable, so the
+    resample-matmul trick doesn't apply; instead this is ONE batched
+    bilinear gather over NHWC (all channels ride each gathered pixel —
+    channel-minor is the TPU-friendly layout), with out-of-bounds corners
+    zero-masked (warpAffine's constant border). Off by default (MXNet
+    recipes ship 0); measured cost when enabled: PERF_NOTES.md."""
     n, h, w, c = images.shape
     r_a, r_s = jax.random.split(rng)
     angles = jax.random.uniform(r_a, (n,), minval=-max_angle_deg,
@@ -357,20 +358,31 @@ def rotate_images(images: jnp.ndarray, rng, max_angle_deg: float,
     yy, xx = jnp.meshgrid(jnp.arange(h, dtype=jnp.float32),
                           jnp.arange(w, dtype=jnp.float32), indexing="ij")
     cy, cx = (h - 1) / 2.0, (w - 1) / 2.0
+    cos = jnp.cos(angles)[:, None, None]
+    sin = jnp.sin(angles)[:, None, None]
+    # inverse map dst -> src: undo shear([[1, s], [0, 1]]) then rotation,
+    # both about the center
+    ux = (xx - cx)[None] - shears[:, None, None] * (yy - cy)[None]
+    uy = (yy - cy)[None]
+    sy = cy + uy * cos - ux * sin    # R(-a), (N,H,W)
+    sx = cx + uy * sin + ux * cos
 
-    def one(img, a, s):
-        # inverse map dst -> src: undo shear([[1, s], [0, 1]]) then
-        # rotation, both about the center
-        cos, sin = jnp.cos(a), jnp.sin(a)
-        ux = (xx - cx) - s * (yy - cy)   # shear^{-1}
-        uy = yy - cy
-        sy = cy + uy * cos - ux * sin    # R(-a)
-        sx = cx + uy * sin + ux * cos
-        def chan(ch):
-            return map_coordinates(ch, [sy, sx], order=1, mode="constant")
-        return jnp.stack([chan(img[..., k]) for k in range(c)], axis=-1)
+    y0 = jnp.floor(sy)
+    x0 = jnp.floor(sx)
+    wy = (sy - y0)[..., None]
+    wx = (sx - x0)[..., None]
 
-    return jax.vmap(one)(images, angles, shears)
+    def corner(yi, xi):
+        valid = ((yi >= 0) & (yi < h) & (xi >= 0) & (xi < w))[..., None]
+        yc = jnp.clip(yi, 0, h - 1).astype(jnp.int32)
+        xc = jnp.clip(xi, 0, w - 1).astype(jnp.int32)
+        g = jax.vmap(lambda img, y, x: img[y, x])(images, yc, xc)  # NHWC
+        return jnp.where(valid, g, 0.0)
+
+    return (corner(y0, x0) * (1 - wy) * (1 - wx)
+            + corner(y0, x0 + 1) * (1 - wy) * wx
+            + corner(y0 + 1, x0) * wy * (1 - wx)
+            + corner(y0 + 1, x0 + 1) * wy * wx)
 
 
 def sample_boxes_canvas(rng, cfg: DataConfig, n: int, hc: int, wc: int,

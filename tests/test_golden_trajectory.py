@@ -15,19 +15,48 @@ lands (and say so in the commit message).
 
 import numpy as np
 
-GOLDEN_LOSSES = [
-    3.1832244396,
-    1.9914913177,
-    2.1838955879,
-    2.0273399353,
-    1.9651520252,
-    1.4505157471,
-    2.1494877338,
-    1.4557512999,
-]
+import pytest
+import numpy as np
+
+# per BN statistics mode: "full" (nn.BatchNorm), "bnsub" (stats from the
+# leading batch//4 images), "grouped" (4 independent groups — per-GPU
+# parity semantics). Pinning all three means silent drift in ANY shipped
+# BN mode trips a test, not just the default.
+GOLDEN_LOSSES = {
+    "full": [
+        3.1832244396,
+        1.9914908409,
+        2.1838953495,
+        2.0273399353,
+        1.9651522636,
+        1.4505161047,
+        2.1494865417,
+        1.4557535648,
+    ],
+    "bnsub": [
+        3.3713417053,
+        2.2523932457,
+        2.5459768772,
+        2.3827743530,
+        1.9530501366,
+        1.5569658279,
+        2.8522191048,
+        2.1216893196,
+    ],
+    "grouped": [
+        2.9819567204,
+        2.1801829338,
+        2.2762179375,
+        2.2036948204,
+        2.0536198616,
+        1.6523755789,
+        2.7649259567,
+        1.4601552486,
+    ],
+}
 
 
-def _trajectory():
+def _trajectory(bn_mode="full"):
     import jax
 
     from resnet_tpu.config import cifar10_resnet18
@@ -43,6 +72,9 @@ def _trajectory():
     cfg.train.batch_size = 16
     cfg.train.lr = 0.05
     cfg.train.seed = 0
+    if bn_mode != "full":
+        cfg.train.bn_subsample = 4
+        cfg.train.bn_grouped = bn_mode == "grouped"
 
     images, labels = synthetic_cifar(128, 10, (16, 16, 3), seed=0)
     it = MemoryIter(images, labels, 16, shuffle=True, seed=0)
@@ -55,19 +87,31 @@ def _trajectory():
     return losses
 
 
-def test_trajectory_matches_golden():
-    losses = _trajectory()
-    np.testing.assert_allclose(losses, GOLDEN_LOSSES, rtol=2e-4,
-                               err_msg="fixed-seed trajectory drifted — "
-                               "math changed somewhere (init/BN/SGD/step)")
+@pytest.mark.parametrize("bn_mode", ["full", "bnsub", "grouped"])
+def test_trajectory_matches_golden(bn_mode):
+    losses = _trajectory(bn_mode)
+    np.testing.assert_allclose(
+        losses, GOLDEN_LOSSES[bn_mode], rtol=2e-4,
+        err_msg=f"fixed-seed trajectory ({bn_mode} BN) drifted — "
+        "math changed somewhere (init/BN/SGD/step)")
 
 
 if __name__ == "__main__":
     # the axon sitecustomize overrides JAX_PLATFORMS: force CPU the way
     # conftest.py does, so regenerated goldens match test runs
+    import os
+    flags = os.environ.get("XLA_FLAGS", "")
+    if "xla_force_host_platform_device_count" not in flags:
+        # match the conftest env exactly: the virtual-device split changes
+        # XLA:CPU's thread partitioning and hence reduction order
+        os.environ["XLA_FLAGS"] = (
+            flags + " --xla_force_host_platform_device_count=8").strip()
     import jax
     jax.config.update("jax_platforms", "cpu")
-    print("GOLDEN_LOSSES = [")
-    for l in _trajectory():
-        print(f"    {l:.10f},")
-    print("]")
+    print("GOLDEN_LOSSES = {")
+    for mode in ["full", "bnsub", "grouped"]:
+        print(f'    "{mode}": [')
+        for l in _trajectory(mode):
+            print(f"        {l:.10f},")
+        print("    ],")
+    print("}")
