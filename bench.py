@@ -45,6 +45,9 @@ def main():
     p.add_argument("--dtype", default="bfloat16")
     p.add_argument("--no-augment", action="store_true",
                    help="skip on-device augmentation (pure model step)")
+    p.add_argument("--max-rotate-angle", type=float, default=0.0,
+                   help="enable the rotate/shear augmentation path "
+                        "(uniform degrees in [-a, a]) to measure its cost")
     p.add_argument("--canvas", type=int, default=0,
                    help="input canvas edge fed to the on-device augmenter "
                         "(0 = auto: the shipped letterbox canvas, 256 for "
@@ -123,6 +126,7 @@ def main():
     cfg.train.bn_subsample = args.bn_subsample
     cfg.train.bn_grouped = args.bn_grouped
     cfg.train.remat_policy = args.remat_policy
+    cfg.data.max_rotate_angle = args.max_rotate_angle
     if args.quick:
         cfg.model.depth = 18
         cfg.data.image_shape = (64, 64, 3)
@@ -221,6 +225,8 @@ def main():
         name += "_noaug"
     if args.canvas:
         name += f"_canvas{args.canvas}"
+    if args.max_rotate_angle:
+        name += f"_rot{int(args.max_rotate_angle)}"
     if args.unit_chain != "off":
         name += f"_chain_{args.unit_chain}"
     if args.grouped_dense:

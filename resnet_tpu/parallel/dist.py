@@ -40,6 +40,40 @@ def maybe_init_distributed() -> bool:
     return True
 
 
+def barrier(name: str, timeout_ms: int = 600_000) -> None:
+    """Align all ranks through the COORDINATION SERVICE (never gloo).
+
+    XLA:CPU's gloo collectives create their communicator contexts lazily
+    at first dispatch, and context creation waits at most ~30s for the
+    other ranks' keys. Rank startup/setup skew easily exceeds that on a
+    loaded host (measured: one rank raced 35s ahead of the others on this
+    1-core box, deadlining every collective in the job) — so the trainer
+    barriers HERE, where the timeout is ours to choose, right before the
+    first collective dispatch.
+    """
+    if jax.process_count() > 1:
+        from jax._src import distributed
+
+        client = distributed.global_state.client
+        if client is not None:
+            client.wait_at_barrier(name, timeout_in_ms=timeout_ms)
+
+
+def finalize_distributed() -> None:
+    """Synchronized teardown for multi-process runs.
+
+    Ranks reach the end of fit at slightly different times; if the
+    coordination leader (rank 0) exits first, the remaining ranks' next
+    coordination-service poll FATALs ("another task died") and the whole
+    job reports failure after a fully successful run. Barrier (through
+    the coordination service, same rationale as ``barrier``), then shut
+    the distributed client down cleanly.
+    """
+    if jax.process_count() > 1:
+        barrier("resnet_tpu:exit")
+        jax.distributed.shutdown()
+
+
 def proc_info() -> Tuple[int, int]:
     """(num_parts, part_index) for input sharding — the exact analog of the
     reference's ImageRecordIter(num_parts=kv.num_workers, part_index=kv.rank).

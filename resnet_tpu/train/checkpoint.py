@@ -23,6 +23,27 @@ import orbax.checkpoint as ocp
 from resnet_tpu.train.state import TrainState
 
 
+_align_count = 0
+
+
+def _align(tag: str) -> None:
+    """Coordination-service barrier before every orbax entry point.
+
+    Orbax's multi-process operations run gloo allgathers internally, and
+    XLA:CPU gloo contexts give the other ranks only ~30s to show up at
+    creation — less than the scheduling starvation bursts a contended
+    host can produce between two checkpoint calls. All ranks make the
+    SAME sequence of checkpoint calls (the Solver's overwrite bookkeeping
+    depends on that already), so a counted barrier here keeps them
+    aligned wherever a collective might be created. No-op single-process.
+    """
+    global _align_count
+    _align_count += 1
+    from resnet_tpu.parallel.dist import barrier
+
+    barrier(f"resnet_tpu:ckpt:{tag}:{_align_count}")
+
+
 def _manager(model_prefix: str, max_to_keep: Optional[int] = None):
     path = os.path.abspath(model_prefix)
     os.makedirs(path, exist_ok=True)
@@ -45,6 +66,13 @@ def save_checkpoint(model_prefix: str, epoch: int, state: TrainState,
     should_save), so overwrite = delete + save; a crash in that window
     falls back to the previous epoch-boundary checkpoint — still no worse
     than the reference, which only ever has epoch granularity.
+
+    Multi-process rule: orbax ``delete`` ends in a COLLECTIVE barrier, so
+    every rank must call it or none — ``force`` must therefore come from
+    rank-deterministic state (the Solver's saved-steps schedule), never
+    from a per-rank filesystem peek (an ``all_steps()`` race deadlocked a
+    4-process run against this barrier). The race-free single-process
+    case keeps an FS fallback for steps left by older runs.
     """
     payload = {
         "step": state.step,
@@ -53,13 +81,23 @@ def save_checkpoint(model_prefix: str, epoch: int, state: TrainState,
         "opt_state": state.opt_state,
         "rng": state.rng,
     }
+    _align("save")
     with _manager(model_prefix, max_to_keep) as mgr:
-        if force and epoch in mgr.all_steps():
-            mgr.delete(epoch)
+        if not force and jax.process_count() == 1 \
+                and epoch in mgr.all_steps():
+            force = True
+        if force:
+            try:
+                mgr.delete(epoch)
+            except FileNotFoundError:
+                # consistent across ranks: a finalized step dir is either
+                # visible to every rank or to none, so all ranks raise
+                # (or none does) before orbax's internal barrier
+                pass
         mgr.save(epoch, args=ocp.args.Composite(
             state=ocp.args.StandardSave(payload),
             iter_state=ocp.args.JsonSave(iter_state or {})),
-            force=force)
+            force=True)   # bypass should_save only; never overwrites
         mgr.wait_until_finished()
 
 
@@ -78,6 +116,7 @@ def load_checkpoint(model_prefix: str, epoch: int,
         "rng": state.rng,
     }
     abstract = jax.tree.map(ocp.utils.to_shape_dtype_struct, template)
+    _align("load")
     with _manager(model_prefix) as mgr:
         restored = mgr.restore(epoch, args=ocp.args.Composite(
             state=ocp.args.StandardRestore(abstract),
@@ -94,5 +133,6 @@ def latest_epoch(model_prefix: str) -> Optional[int]:
     path = os.path.abspath(model_prefix)
     if not os.path.isdir(path):
         return None
+    _align("latest")
     with _manager(model_prefix) as mgr:
         return mgr.latest_step()

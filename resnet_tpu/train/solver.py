@@ -101,6 +101,11 @@ class Solver:
         self.cfg = cfg
         self._sigterm = False
         self.iter_state = {}
+        # orbax steps THIS run has written (or resumed from): the
+        # rank-deterministic source of the overwrite decision — orbax
+        # delete is a collective, so ranks must agree without peeking at
+        # the filesystem (checkpoint.py multi-process rule)
+        self._saved_steps = set()
         aug_fn, eval_fn = _augment_fns(cfg)
         from resnet_tpu.utils.xla_opts import compiler_options
         xla_opts = compiler_options(getattr(t, "xla_opts", None))
@@ -130,6 +135,11 @@ class Solver:
         relaunched job finds the latest epoch itself.
         """
         t = self.cfg.train
+        # ranks must be aligned before the FIRST cross-process collective,
+        # which on a resume path is orbax's own allgather barrier inside
+        # latest_epoch/load_checkpoint (parallel/dist.py barrier rationale)
+        from resnet_tpu.parallel.dist import barrier
+        barrier("resnet_tpu:init")
         state = create_train_state(self.cfg)
         self.begin_epoch = t.begin_epoch
         self.iter_state = {}
@@ -142,6 +152,9 @@ class Solver:
             state, self.iter_state = ckpt.load_checkpoint(
                 t.model_prefix, load_epoch, state)
             self.begin_epoch = load_epoch
+            # every rank loaded this step, so every rank agrees it exists
+            # (a later save to the same step must overwrite)
+            self._saved_steps.add(load_epoch)
             self.log.info("Resumed from epoch %d (step %d)",
                           load_epoch, int(state.step))
         return state
@@ -170,8 +183,12 @@ class Solver:
             if self._sigterm:
                 # save the exact position (state + data cursor) and exit;
                 # a relaunch with --auto-resume replays the identical
-                # remaining stream (SURVEY.md §3.4 "match or exceed")
-                if t.model_prefix:
+                # remaining stream (SURVEY.md §3.4 "match or exceed").
+                # Multi-process: the orbax save is a COLLECTIVE — a lone
+                # signaled rank saving would hang the barrier, so dist
+                # jobs exit immediately and recovery falls back to the
+                # last collective --checkpoint-frequent/epoch save.
+                if t.model_prefix and jax.process_count() == 1:
                     self._save_mid_epoch(state, train_iter, epoch, nbatch)
                 self.log.warning(
                     "SIGTERM: checkpointed epoch %d batch %d; exiting",
@@ -226,9 +243,14 @@ class Solver:
         restarts at begin_epoch=epoch and the iterator seeks to the exact
         batch. ``force`` because successive saves in one epoch share the
         step number."""
+        # drain in-flight steps first: their psums and orbax's own gloo
+        # allgather barrier otherwise interleave across ranks
+        jax.block_until_ready(state.params)
         ckpt.save_checkpoint(
             self.cfg.train.model_prefix, epoch, state,
-            iter_state=train_iter.cursor_state(nbatch), force=True)
+            iter_state=train_iter.cursor_state(nbatch),
+            force=epoch in self._saved_steps)
+        self._saved_steps.add(epoch)
         self.log.info("Saved mid-epoch checkpoint (epoch %d, batch %d)",
                       epoch, nbatch)
 
@@ -244,6 +266,12 @@ class Solver:
         train_iter.load_state_dict(self.iter_state)  # replay data stream
         num_epochs = num_epochs or t.num_epochs
         from resnet_tpu.utils.profiler import maybe_trace
+
+        # align ranks before the FIRST collective dispatch: per-rank setup
+        # skew (init/compile/cache-load on a shared host) can exceed the
+        # ~30s gloo context-creation window (parallel/dist.py barrier)
+        from resnet_tpu.parallel.dist import barrier
+        barrier("resnet_tpu:fit")
 
         # SIGTERM → one final mid-epoch save, then exit 143. The handler
         # only flips a flag; the save happens at a batch boundary in
@@ -283,7 +311,9 @@ class Solver:
                 if t.model_prefix:
                     ckpt.save_checkpoint(
                         t.model_prefix, epoch + 1, state,
-                        iter_state=train_iter.state_dict(), force=True)
+                        iter_state=train_iter.state_dict(),
+                        force=(epoch + 1) in self._saved_steps)
+                    self._saved_steps.add(epoch + 1)
         finally:
             if prev_handler is not None:
                 signal.signal(signal.SIGTERM, prev_handler)

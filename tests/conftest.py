@@ -26,6 +26,36 @@ jax.config.update("jax_platforms", "cpu")
 import numpy as np
 import pytest
 
+# Whole FILES in the conv-heavy / multi-process / e2e tier: everything in
+# them is implicitly `integration`; the rest of the suite is the `fast`
+# unit tier (`pytest -m fast`, target <5 min on this 1-core box).
+_INTEGRATION_FILES = {
+    "test_convergence_record.py",
+    "test_midepoch_resume.py",
+    "test_launch_recovery.py",
+    "test_golden_imagenet_path.py",
+    "test_dist.py",
+    "test_solver.py",
+    "test_train.py",
+    "test_graft_entry.py",
+    "test_fused_chain.py",
+    "test_fused_unit.py",
+    "test_chain_model.py",
+    "test_xla_opts.py",
+    "test_remat_policy.py",
+    "test_input_overhead.py",
+}
+
+
+def pytest_collection_modifyitems(items):
+    for item in items:
+        fname = item.path.name if hasattr(item, "path") else ""
+        if fname in _INTEGRATION_FILES or \
+                item.get_closest_marker("integration"):
+            item.add_marker(pytest.mark.integration)
+        else:
+            item.add_marker(pytest.mark.fast)
+
 
 @pytest.fixture
 def rng():

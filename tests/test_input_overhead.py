@@ -1,0 +1,44 @@
+"""Pinned <5% input-pipeline overhead on the CPU backend.
+
+BASELINE.md north-star row 2 demands input overhead <5% of step time. The
+TPU tunnel on this box serializes H2D against compute (~20x, PERF_NOTES),
+so the end-to-end target cannot be demonstrated on the chip here; this
+test pins the ARCHITECTURE demonstration where transfers behave: the same
+jitted train step, fed device-resident batches vs the full production
+pipeline (native decode pool -> letterbox canvases -> prefetch thread ->
+H2D), measured in alternating windows (tools/bench_input.py --interleave;
+sequential legs drift +-4-5% on this host — more than the bar itself).
+
+Measured here: ~0% overhead (the host side costs ~2 ms against a
+multi-second CPU step; decode_rate >> step consumption). On a real v5e
+host the same architecture holds the bar by the decode-rate argument:
+>650 img/s/core measured, >100 cores per host, async DMA.
+"""
+
+import json
+import os
+import subprocess
+import sys
+
+import pytest
+
+
+@pytest.mark.integration
+def test_cpu_backend_input_overhead_under_5pct():
+    repo = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    env = dict(os.environ)
+    env["JAX_PLATFORMS"] = "cpu"
+    out = subprocess.run(
+        [sys.executable, os.path.join(repo, "tools", "bench_input.py"),
+         "--depth", "18", "--image-size", "96", "--batch-size", "16",
+         "--steps", "12", "--interleave", "3", "--threads", "2",
+         "--num-images", "192"],
+        env=env, capture_output=True, text=True, timeout=900)
+    assert out.returncode == 0, out.stderr[-2000:]
+    line = [ln for ln in out.stdout.splitlines() if ln.startswith("{")][-1]
+    r = json.loads(line)
+    assert r["input_overhead"] < 0.05, r
+    # the host can decode far more than the step consumes (the structural
+    # reason the bar holds): step consumes bs/step_s images/sec
+    step_rate = 16 / (r["step_ms_device_data"] / 1e3)
+    assert r["decode_imgs_per_sec"] > 5 * step_rate, r

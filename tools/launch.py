@@ -74,12 +74,35 @@ def main(argv=None):
     signal.signal(signal.SIGINT, kill_all)
     signal.signal(signal.SIGTERM, kill_all)
 
+    # Failure DETECTION (SURVEY.md §5): poll ALL workers — when any dies,
+    # terminate the rest so the job fails fast instead of hanging in a
+    # collective (the reference's dist_sync barrier hangs forever on a
+    # dead worker; recovery is relaunch with --auto-resume, which picks up
+    # the last collectively-written checkpoint). A worker blocked inside a
+    # collective cannot run its Python SIGTERM handler, so terminate
+    # escalates to SIGKILL after a grace period.
+    import time
     rc = 0
-    for pr in procs:
-        pr.wait()
-        rc = rc or pr.returncode
-    if rc:
-        kill_all()
+    live = list(procs)
+    killing_since = None
+    while live:
+        for pr in list(live):
+            r = pr.poll()
+            if r is None:
+                continue
+            live.remove(pr)
+            rc = rc or r
+            if r and live and killing_since is None:
+                print(f"launch.py: worker exited rc={r}; "
+                      "terminating remaining workers", file=sys.stderr)
+                kill_all()
+                killing_since = time.time()
+        if killing_since is not None and live \
+                and time.time() - killing_since > 10.0:
+            for pr in live:
+                if pr.poll() is None:
+                    pr.kill()
+        time.sleep(0.2)
     return rc
 
 

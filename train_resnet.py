@@ -26,7 +26,11 @@ def main(argv=None):
 
     from resnet_tpu.config import parse_config
     from resnet_tpu.data.loader import make_train_iter, make_val_iter
-    from resnet_tpu.parallel.dist import maybe_init_distributed, proc_info
+    from resnet_tpu.parallel.dist import (
+        finalize_distributed,
+        maybe_init_distributed,
+        proc_info,
+    )
     from resnet_tpu.train.solver import Solver
 
     cfg = parse_config(argv)
@@ -45,6 +49,9 @@ def main(argv=None):
     train_iter = make_train_iter(cfg, num_parts, part_index)
     val_iter = make_val_iter(cfg, num_parts, part_index)
     solver.fit(train_iter, val_iter)
+    # barrier + clean dist shutdown: without it the first rank to exit
+    # (the coordination leader) FATALs the others mid-teardown
+    finalize_distributed()
 
 
 if __name__ == "__main__":
