@@ -60,22 +60,28 @@ def main():
     p.add_argument("--unit-chain", choices=["off", "xla", "pallas"],
                    default="off",
                    help="chain dataflow for v1 bottleneck units")
-    p.add_argument("--grouped-dense", action="store_true",
-                   help="ResNeXt grouped 3x3 as block-diagonal dense conv")
-    p.add_argument("--grouped-merge", type=int, default=0,
-                   help="groups fused per dense block (0 = all)")
-    p.add_argument("--bn-subsample", type=int, default=8,
-                   help="BN stats from batch//s leading images; the "
-                        "default 8 at batch 256 matches the reference's "
-                        "per-GPU 32-image BN stats SAMPLE COUNT (bs256 "
-                        "over 8 GPUs) and measures ~3%% faster than "
-                        "full-batch stats; pass 1 for sync-BN-style "
-                        "full-batch stats (forced automatically when "
-                        "--unit-chain computes full-batch stats in-kernel)")
-    p.add_argument("--bn-grouped", action="store_true",
+    p.add_argument("--grouped-dense", action=argparse.BooleanOptionalAction,
+                   default=None,
+                   help="ResNeXt grouped 3x3 as block-diagonal dense conv "
+                        "(default: the shipped preset's choice)")
+    p.add_argument("--grouped-merge", type=int, default=None,
+                   help="groups fused per dense block (0 = all; default: "
+                        "the shipped preset's choice)")
+    p.add_argument("--bn-subsample", type=int, default=None,
+                   help="BN stats from batch//s leading images (s=8 at "
+                        "batch 256 matches the reference's per-GPU "
+                        "32-image BN stats sample count); 1 = sync-BN-"
+                        "style full-batch stats. Default: the shipped "
+                        "preset's choice — the benchmark of record "
+                        "measures what the trainer ships. Forced to 1 "
+                        "when --unit-chain computes full-batch stats "
+                        "in-kernel")
+    p.add_argument("--bn-grouped", action=argparse.BooleanOptionalAction,
+                   default=None,
                    help="with --bn-subsample s: normalize s independent "
                         "groups, each with its own stats — the exact "
-                        "single-chip analog of per-GPU BatchNorm")
+                        "single-chip analog of per-GPU BatchNorm "
+                        "(default: the shipped preset's choice)")
     p.add_argument("--remat-policy", choices=["none", "conv"],
                    default="none",
                    help="selective remat: save conv outs + BN stats only")
@@ -102,29 +108,39 @@ def main():
     from resnet_tpu.utils.cache import enable_compile_cache
     enable_compile_cache()
 
-    from resnet_tpu.config import Config
+    from resnet_tpu.config import imagenet_resnet50, imagenet_resnext50
     from resnet_tpu.ops import augment
     from resnet_tpu.train.state import create_train_state
     from resnet_tpu.train.steps import make_train_step
 
-    cfg = Config()
+    # start from the SHIPPED preset for the measured family — the
+    # benchmark of record measures the trainer's defaults (BN statistics
+    # mode, grouped-conv lowering); flags override individual knobs
+    cfg = (imagenet_resnext50() if args.network == "resnext"
+           else imagenet_resnet50())
     cfg.model.network = args.network
     cfg.model.depth = args.depth
     cfg.train.dtype = args.dtype
     cfg.train.unit_chain = args.unit_chain
-    cfg.train.grouped_dense = args.grouped_dense
-    cfg.train.grouped_merge = args.grouped_merge
-    if args.unit_chain != "off" and args.bn_subsample != 1:
+    if args.grouped_dense is not None:
+        cfg.train.grouped_dense = args.grouped_dense
+    if args.grouped_merge is not None:
+        cfg.train.grouped_merge = args.grouped_merge
+    if args.bn_subsample is not None:
+        cfg.train.bn_subsample = args.bn_subsample
+        if not args.bn_grouped:
+            cfg.train.bn_grouped = False
+    if args.bn_grouped is not None:
+        cfg.train.bn_grouped = args.bn_grouped
+    if args.unit_chain != "off" and cfg.train.bn_subsample != 1:
         # the chain dataflow computes full-batch stats in-kernel and does
         # not compose with sub-batch BN stats (models/registry.py guard);
-        # the bn-subsample default would otherwise make every --unit-chain
+        # a sub-batch default would otherwise make every --unit-chain
         # run crash
         print(f"# --unit-chain {args.unit_chain}: forcing --bn-subsample 1",
               file=sys.stderr)
-        args.bn_subsample = 1
-        args.bn_grouped = False
-    cfg.train.bn_subsample = args.bn_subsample
-    cfg.train.bn_grouped = args.bn_grouped
+        cfg.train.bn_subsample = 1
+        cfg.train.bn_grouped = False
     cfg.train.remat_policy = args.remat_policy
     cfg.data.max_rotate_angle = args.max_rotate_angle
     if args.quick:
@@ -229,13 +245,13 @@ def main():
         name += f"_rot{int(args.max_rotate_angle)}"
     if args.unit_chain != "off":
         name += f"_chain_{args.unit_chain}"
-    if args.grouped_dense:
+    if cfg.train.grouped_dense:
         name += "_gdense"
-        if args.grouped_merge:
-            name += f"{args.grouped_merge}"
-    if args.bn_subsample > 1:
-        name += (f"_bngroup{args.bn_subsample}" if args.bn_grouped
-                 else f"_bnsub{args.bn_subsample}")
+        if cfg.train.grouped_merge:
+            name += f"{cfg.train.grouped_merge}"
+    if cfg.train.bn_subsample > 1:
+        name += (f"_bngroup{cfg.train.bn_subsample}" if cfg.train.bn_grouped
+                 else f"_bnsub{cfg.train.bn_subsample}")
     if args.remat_policy != "none":
         name += f"_remat_{args.remat_policy}"
     if args.dp_mode != "none":
