@@ -46,8 +46,12 @@ def main():
     p.add_argument("--no-augment", action="store_true",
                    help="skip on-device augmentation (pure model step)")
     p.add_argument("--max-rotate-angle", type=float, default=0.0,
-                   help="enable the rotate/shear augmentation path "
-                        "(uniform degrees in [-a, a]) to measure its cost")
+                   help="enable the IN-GRAPH rotate/shear path (uniform "
+                        "degrees in [-a, a]) to measure its cost — the "
+                        "gather cliff, measured 217 img/s. Production "
+                        "ships rotate_backend=host (the record pipeline "
+                        "warps on the CPU; data/host_warp.py), which the "
+                        "device step never sees")
     p.add_argument("--canvas", type=int, default=0,
                    help="input canvas edge fed to the on-device augmenter "
                         "(0 = auto: the shipped letterbox canvas, 256 for "

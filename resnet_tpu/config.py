@@ -49,6 +49,15 @@ class DataConfig:
     max_random_scale: float = 1.0
     max_rotate_angle: float = 0.0     # degrees, uniform in [-a, a]
     max_shear_ratio: float = 0.0      # horizontal shear, uniform in [-s, s]
+    # Where the rotate/shear warp runs when enabled: 'host' warps canvases
+    # in the record-pipeline decode stage (the reference's placement —
+    # warpAffine lives in its CPU augmenter threads — and the TPU answer:
+    # the non-separable warp lowers to a gather on-device and costs 11x
+    # the train step, PERF_NOTES.md round 3); 'device' keeps the in-graph
+    # bilinear-gather path (also used by non-record pipelines, which have
+    # no host decode stage). Geometry is identical either way
+    # (data/host_warp.py parity pin).
+    rotate_backend: str = "host"
     random_h: int = 36                # HSL jitter ranges (reference ImageNet
     random_s: int = 50                # cfgs: 36/50/50 in OpenCV HLS units)
     random_l: int = 50
@@ -270,6 +279,12 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--random-l", type=int, default=None)
     p.add_argument("--max-rotate-angle", type=float, default=None)
     p.add_argument("--max-shear-ratio", type=float, default=None)
+    p.add_argument("--rotate-backend", choices=["host", "device"],
+                   default=None,
+                   help="where the rotate/shear warp runs (host: record-"
+                        "pipeline decode stage, the reference placement; "
+                        "device: in-graph gather — 11x step cost, "
+                        "PERF_NOTES.md)")
     # train
     p.add_argument("--batch-size", type=int, default=None, help="global batch")
     p.add_argument("--lr", type=float, default=None)
@@ -376,6 +391,8 @@ def config_from_args(args: argparse.Namespace) -> Config:
         d["max_rotate_angle"] = args.max_rotate_angle
     if args.max_shear_ratio is not None:
         d["max_shear_ratio"] = args.max_shear_ratio
+    if args.rotate_backend is not None:
+        d["rotate_backend"] = args.rotate_backend
     if args.batch_size is not None: t["batch_size"] = args.batch_size
     if args.lr is not None: t["lr"] = args.lr
     if args.lr_steps is not None: t["lr_steps"] = _parse_tuple(args.lr_steps)

@@ -119,6 +119,20 @@ class RecordIter(DataIter):
             recs, idxs, self.canvas_hw, threads=d.preprocess_threads,
             num_parts=num_parts, part_index=part_index,
             letterbox=train)
+        # host-side rotate/shear (data/host_warp.py): the reference runs
+        # warpAffine in its CPU augmenter threads, and on-device the
+        # non-separable warp is a gather (11x step cost — PERF_NOTES.md),
+        # so 'host' is the production placement. Train only; params are
+        # a pure function of (seed, epoch, batch) so resume replays the
+        # identical warp stream.
+        self._warp = None
+        self._warp_pool = None
+        if (train and getattr(d, "rotate_backend", "host") == "host"
+                and (d.max_rotate_angle > 0 or d.max_shear_ratio > 0)):
+            from concurrent.futures import ThreadPoolExecutor
+            self._warp = (d.max_rotate_angle, d.max_shear_ratio)
+            self._warp_pool = ThreadPoolExecutor(
+                max_workers=max(1, d.preprocess_threads))
         n = self.loader.num_records
         if train:
             self.steps_per_epoch = max(n // self.batch_size, 1)
@@ -189,7 +203,7 @@ class RecordIter(DataIter):
             # mid-epoch resume seek for loaders lacking records_consumed)
             local_consumed = start_record
             try:
-                for _ in range(self.steps_per_epoch - start_batch):
+                for k in range(start_batch, self.steps_per_epoch):
                     if stop.is_set():
                         return
                     out = self._fill_batch()
@@ -200,6 +214,13 @@ class RecordIter(DataIter):
                         # on a zero-padded batch would bias gradients, and
                         # a new 'mask' pytree key would recompile the step
                         break
+                    if self._warp is not None:
+                        from resnet_tpu.data import host_warp
+                        angles, shears = host_warp.batch_params(
+                            self.seed, epoch, k, len(out[0]), *self._warp)
+                        out = (host_warp.warp_batch(
+                            out[0], angles, shears, self._warp_pool),
+                            out[1], out[2])
                     local_consumed += len(out[0])
                     consumed = getattr(self.loader, "records_consumed",
                                        local_consumed)

@@ -338,7 +338,9 @@ def _rgb_to_hsl_adjust(images: jnp.ndarray, rng, random_h: float,
 
 
 def rotate_images(images: jnp.ndarray, rng, max_angle_deg: float,
-                  max_shear_ratio: float = 0.0):
+                  max_shear_ratio: float = 0.0,
+                  angles: Optional[jnp.ndarray] = None,
+                  shears: Optional[jnp.ndarray] = None):
     """Per-example affine warp about the image center: rotation by
     U[-a, a] degrees composed with horizontal shear by U[-s, s]
     (ref: max_rotate_angle / max_shear_ratio — MXNet's default augmenter
@@ -350,10 +352,14 @@ def rotate_images(images: jnp.ndarray, rng, max_angle_deg: float,
     recipes ship 0); measured cost when enabled: PERF_NOTES.md."""
     n, h, w, c = images.shape
     r_a, r_s = jax.random.split(rng)
-    angles = jax.random.uniform(r_a, (n,), minval=-max_angle_deg,
-                                maxval=max_angle_deg) * (jnp.pi / 180.0)
-    shears = jax.random.uniform(r_s, (n,), minval=-max_shear_ratio,
-                                maxval=max_shear_ratio)
+    if angles is None:
+        # RADIANS; explicit angles/shears bypass the sampling (the host
+        # path's parity pin drives identical params through both backends)
+        angles = jax.random.uniform(r_a, (n,), minval=-max_angle_deg,
+                                    maxval=max_angle_deg) * (jnp.pi / 180.0)
+    if shears is None:
+        shears = jax.random.uniform(r_s, (n,), minval=-max_shear_ratio,
+                                    maxval=max_shear_ratio)
 
     yy, xx = jnp.meshgrid(jnp.arange(h, dtype=jnp.float32),
                           jnp.arange(w, dtype=jnp.float32), indexing="ij")

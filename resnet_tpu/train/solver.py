@@ -40,6 +40,15 @@ def _augment_fns(cfg: Config):
         eval_fn = lambda imgs: augment.normalize(
             imgs, d.mean_rgb, d.std_rgb, dtype)
     else:
+        if (d.pipeline == "record" and d.rotate_backend == "host"
+                and (d.max_rotate_angle > 0 or d.max_shear_ratio > 0)):
+            # the record pipeline already warped the canvases on the host
+            # (data/host_warp.py — the reference's warpAffine placement);
+            # zero the angles so the in-graph path doesn't warp twice.
+            # Non-record pipelines have no host decode stage and keep the
+            # in-graph gather.
+            import dataclasses as _dc
+            d = _dc.replace(d, max_rotate_angle=0.0, max_shear_ratio=0.0)
         out_hw = d.image_shape[:2]
         impl = d.augment_impl
         if impl == "auto":
