@@ -69,7 +69,15 @@ def test_record_pipeline_converges(shard_tree, bn_mode):
     """Convergence bar for EVERY shipped BN statistics mode (VERDICT r2:
     the headline BN mode must have convergence evidence, not just a clock).
     bnsub/grouped run s=3 -> 8-image stats samples at batch 24, the same
-    stats-per-sample ballpark as the recipe's 32-image samples at bs256."""
+    stats-per-sample ballpark as the recipe's 32-image samples at bs256.
+
+    full and grouped must PASS the bar. bnsub is pinned as the measured
+    COUNTER-evidence: normalizing the whole batch with one leading
+    subset's statistics skews the BN running stats and tanks validation
+    (accuracy lands at ~0.0 here) — the reason round 3 demoted bnsub
+    from benchmark default to an explicit throughput-only flag
+    (PERF_NOTES.md round 3). If bnsub ever clears the bar, this pin
+    fails so the defaults decision gets revisited."""
     from resnet_tpu.config import Config
     from resnet_tpu.data.loader import make_train_iter, make_val_iter
     from resnet_tpu.train.solver import Solver
@@ -102,8 +110,16 @@ def test_record_pipeline_converges(shard_tree, bn_mode):
     solver = Solver(cfg)
     state = solver.fit(make_train_iter(cfg), None)
     m = solver.validate(state, make_val_iter(cfg), cfg.train.num_epochs - 1)
-    # texture classes are trivially separable: anything that learns clears .9
-    assert m["accuracy"] >= 0.9, (bn_mode, m)
+    if bn_mode == "bnsub":
+        # the counter-evidence pin (see docstring): subset-stats BN does
+        # NOT meet the bar on the production pipeline
+        assert m["accuracy"] < 0.9, (
+            "bnsub now clears the convergence bar — revisit the round-3 "
+            "BN defaults decision", m)
+    else:
+        # texture classes are trivially separable: anything that learns
+        # clears .9
+        assert m["accuracy"] >= 0.9, (bn_mode, m)
 
 
 def test_multi_shard_resolution(shard_tree):
