@@ -86,6 +86,11 @@ def main():
                         "groups, each with its own stats — the exact "
                         "single-chip analog of per-GPU BatchNorm "
                         "(default: the shipped preset's choice)")
+    p.add_argument("--bn-stat-stride", type=int, default=None,
+                   help="BN stats from every s-th spatial row/column of "
+                        "ALL images (1/s^2 stats-sweep traffic; keeps "
+                        "every image in the sample, unlike --bn-subsample). "
+                        "Default: the shipped preset's choice")
     p.add_argument("--remat-policy", choices=["none", "conv"],
                    default="none",
                    help="selective remat: save conv outs + BN stats only")
@@ -136,6 +141,12 @@ def main():
             cfg.train.bn_grouped = False
     if args.bn_grouped is not None:
         cfg.train.bn_grouped = args.bn_grouped
+    if args.bn_stat_stride is not None:
+        cfg.train.bn_stat_stride = args.bn_stat_stride
+    if args.unit_chain != "off" and cfg.train.bn_stat_stride != 1:
+        print(f"# --unit-chain {args.unit_chain}: forcing --bn-stat-stride 1",
+              file=sys.stderr)
+        cfg.train.bn_stat_stride = 1
     if args.unit_chain != "off" and cfg.train.bn_subsample != 1:
         # the chain dataflow computes full-batch stats in-kernel and does
         # not compose with sub-batch BN stats (models/registry.py guard);
@@ -256,6 +267,8 @@ def main():
     if cfg.train.bn_subsample > 1:
         name += (f"_bngroup{cfg.train.bn_subsample}" if cfg.train.bn_grouped
                  else f"_bnsub{cfg.train.bn_subsample}")
+    if cfg.train.bn_stat_stride > 1:
+        name += f"_bnstride{cfg.train.bn_stat_stride}"
     if args.remat_policy != "none":
         name += f"_remat_{args.remat_policy}"
     if args.dp_mode != "none":

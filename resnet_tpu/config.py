@@ -139,6 +139,10 @@ class TrainConfig:
                                       # INDEPENDENT groups, each with its own
                                       # stats — the exact single-chip analog
                                       # of the reference's per-GPU BatchNorm
+    bn_stat_stride: int = 1           # BN stats from every s-th spatial
+                                      # row/column of ALL images (1/s² of the
+                                      # stats-sweep HBM traffic; keeps every
+                                      # image in the sample, unlike bnsub)
     remat_policy: str = "none"        # "none"|"conv": selective remat — save
                                       # conv outs + BN stats, recompute the
                                       # elementwise chain in backward
@@ -331,6 +335,11 @@ def build_parser() -> argparse.ArgumentParser:
                    help="with --bn-subsample s: normalize s independent "
                         "groups, each with its own batch stats — the exact "
                         "single-chip analog of per-GPU BatchNorm")
+    p.add_argument("--bn-stat-stride", type=int, default=None,
+                   help="compute BN stats from every s-th spatial row and "
+                        "column of ALL images (1/s^2 stats-sweep traffic; "
+                        "keeps every image in the sample, unlike "
+                        "--bn-subsample)")
     p.add_argument("--remat-policy", choices=["none", "conv"], default=None,
                    help="selective remat: save conv outputs + BN stats, "
                         "recompute normalize/relu in backward")
@@ -418,6 +427,8 @@ def config_from_args(args: argparse.Namespace) -> Config:
     if args.grouped_merge is not None: t["grouped_merge"] = args.grouped_merge
     if args.bn_subsample is not None: t["bn_subsample"] = args.bn_subsample
     if args.bn_grouped: t["bn_grouped"] = True
+    if args.bn_stat_stride is not None:
+        t["bn_stat_stride"] = args.bn_stat_stride
     if args.remat_policy is not None: t["remat_policy"] = args.remat_policy
     if args.xla_opts is not None: t["xla_opts"] = args.xla_opts
     if args.check_numerics: t["check_numerics"] = True

@@ -64,12 +64,13 @@ def get_model(cfg: Config, dtype: Any = None, remat: bool = None,
     grouped_merge = getattr(cfg.train, "grouped_merge", 0)
     bn_subsample = getattr(cfg.train, "bn_subsample", 1)
     bn_grouped = getattr(cfg.train, "bn_grouped", False)
+    bn_stat_stride = getattr(cfg.train, "bn_stat_stride", 1)
     remat_policy = getattr(cfg.train, "remat_policy", "none")
     if bn_grouped and bn_subsample <= 1:
         raise ValueError(
             "--bn-grouped needs --bn-subsample > 1 (the number of "
             "independent normalization groups)")
-    if unit_chain != "off" and (bn_subsample > 1
+    if unit_chain != "off" and (bn_subsample > 1 or bn_stat_stride > 1
                                 or remat_policy == "conv"):
         # the chain dataflow computes full-batch stats in its epilogues
         # and manages its own residuals — silently ignoring these knobs
@@ -98,5 +99,6 @@ def get_model(cfg: Config, dtype: Any = None, remat: bool = None,
         grouped_merge=grouped_merge,
         bn_subsample=bn_subsample,
         bn_grouped=bn_grouped,
+        bn_stat_stride=bn_stat_stride,
         pallas_interpret=pallas_interpret,
     )

@@ -160,7 +160,7 @@ def _conv_or_dot(features, kernel_size, strides=(1, 1), dtype=jnp.float32,
 
 def _norm(mom: float, eps: float, dtype, name: str, use_scale: bool = True,
           subsample: int = 1, tag_stats: bool = False,
-          grouped: bool = False):
+          grouped: bool = False, stat_stride: int = 1):
     """BatchNorm matching MXNet semantics: momentum 0.9 EMA on running stats.
 
     MXNet ``BatchNorm(momentum=m)`` updates ``moving = m*moving + (1-m)*batch``
@@ -169,16 +169,19 @@ def _norm(mom: float, eps: float, dtype, name: str, use_scale: bool = True,
     statistics over a leading sub-batch (SubsampleBatchNorm), or — with
     ``grouped`` — normalizes ``subsample`` independent sub-batches each with
     its own statistics (the exact single-chip analog of the reference's
-    per-GPU BatchNorm; see SubsampleBatchNorm). ``tag_stats`` marks the batch
+    per-GPU BatchNorm; see SubsampleBatchNorm). ``stat_stride > 1`` samples
+    the train-mode statistics from every s-th spatial row/column of ALL
+    images (1/s² of the stats-sweep HBM traffic; see SubsampleBatchNorm).
+    ``tag_stats`` marks the batch
     stats as remat-saveable (``bn_stats`` checkpoint name) so a
     selective-remat policy keeps the tiny per-channel reductions instead of
     re-running full-activation sweeps in backward.
     """
-    if subsample > 1 or tag_stats:
+    if subsample > 1 or tag_stats or stat_stride > 1:
         return partial(
             SubsampleBatchNorm, momentum=mom, epsilon=eps, dtype=dtype,
             use_scale=use_scale, subsample=subsample, tag_stats=tag_stats,
-            grouped=grouped, name=name)
+            grouped=grouped, stat_stride=stat_stride, name=name)
     return partial(
         nn.BatchNorm, momentum=mom, epsilon=eps, dtype=dtype,
         use_scale=use_scale, name=name)
@@ -208,8 +211,18 @@ class SubsampleBatchNorm(nn.Module):
       tests/test_bn_subsample.py). The EMA is updated with the mean of
       the group statistics, which equals the average of per-device EMAs
       the reference materializes at get_params time.
+    - ``stat_stride=s`` (spatial subsampling, round 3): train-mode
+      statistics come from every s-th spatial row AND column of ALL
+      images (``x[:, ::s, ::s]``). Unlike bnsub (which reads a biased
+      32-image subset and FAILS the convergence bar — PERF_NOTES.md
+      round 3), this keeps every image in the sample and only thins the
+      spatially-correlated pixels: at bs256/stride-2 the stage-1 stats
+      still average 3.2M samples/channel. The stats reduce reads 1/s² of
+      the activation bytes; rows are W*C-contiguous so the strided skip
+      is real HBM traffic saved, not cache-line waste. Composes with
+      ``subsample``/``grouped`` (stride applies inside the stats slice).
 
-    Eval semantics are identical to nn.BatchNorm in both flavors, and the
+    Eval semantics are identical to nn.BatchNorm in all flavors, and the
     param/variable tree is identical (checkpoints interchange).
     """
 
@@ -219,6 +232,7 @@ class SubsampleBatchNorm(nn.Module):
     use_scale: bool = True
     subsample: int = 8
     grouped: bool = False
+    stat_stride: int = 1
     tag_stats: bool = False   # checkpoint_name the batch stats "bn_stats"
 
     @nn.compact
@@ -248,6 +262,16 @@ class SubsampleBatchNorm(nn.Module):
                 ra_mean.value = m * ra_mean.value + (1 - m) * mean
                 ra_var.value = m * ra_var.value + (1 - m) * var
 
+        def _stat_slice(t):
+            # every stat_stride-th spatial row/column; spatial dims are the
+            # two before the channel dim (NHWC / grouped gNHWC)
+            s = self.stat_stride
+            if s <= 1 or t.ndim < 4:
+                return t
+            sl = ((slice(None),) * (t.ndim - 3)
+                  + (slice(None, None, s),) * 2 + (slice(None),))
+            return t[sl]
+
         if not use_running_average and self.grouped and self.subsample > 1:
             n = x.shape[0]
             g = min(self.subsample, n)
@@ -255,12 +279,13 @@ class SubsampleBatchNorm(nn.Module):
                 raise ValueError(
                     f"grouped BN: batch {n} not divisible by {g} groups")
             xs = x.astype(jnp.float32).reshape(g, n // g, *x.shape[1:])
+            ss = _stat_slice(xs)
             red = tuple(range(1, xs.ndim - 1))
-            gmean = jnp.mean(xs, axis=red)                      # (g, C)
+            gmean = jnp.mean(ss, axis=red)                      # (g, C)
             # clamp: E[x^2]-mean^2 can go negative by float cancellation
             # (small groups make it likelier) — same guard as flax
             gvar = jnp.maximum(
-                0.0, jnp.mean(xs * xs, axis=red) - gmean * gmean)
+                0.0, jnp.mean(ss * ss, axis=red) - gmean * gmean)
             gmean, gvar = _tag(gmean, gvar)
             _ema(jnp.mean(gmean, 0), jnp.mean(gvar, 0))
             inv = jax.lax.rsqrt(gvar + self.epsilon)
@@ -274,7 +299,7 @@ class SubsampleBatchNorm(nn.Module):
             mean, var = ra_mean.value, ra_var.value
         else:
             k = max(1, x.shape[0] // self.subsample)
-            xs = x[:k].astype(jnp.float32)
+            xs = _stat_slice(x[:k]).astype(jnp.float32)
             mean = jnp.mean(xs, axis=tuple(range(xs.ndim - 1)))
             var = jnp.maximum(
                 0.0, jnp.mean(
@@ -314,6 +339,7 @@ class ResidualUnit(nn.Module):
     grouped_merge: int = 0        # groups fused per dense block (0 = all)
     bn_subsample: int = 1         # BN stats from batch//s leading images
     bn_grouped: bool = False      # s independent groups (per-GPU parity)
+    bn_stat_stride: int = 1       # BN stats from every s-th spatial row/col
     tag_remat: bool = False       # checkpoint_name conv outs / BN stats for
                                   # the selective-remat policy (ResNet below)
     pallas_interpret: bool = False
@@ -349,7 +375,8 @@ class ResidualUnit(nn.Module):
         conv = lambda *a, **kw: (lambda x_: tag(raw_conv(*a, **kw)(x_)))
         bn = lambda name, scale=True: _norm(
             self.bn_mom, self.bn_eps, self.dtype, name, scale,
-            self.bn_subsample, self.tag_remat, self.bn_grouped)()
+            self.bn_subsample, self.tag_remat, self.bn_grouped,
+            self.bn_stat_stride)()
         relu = nn.relu
         ra = not train
 
@@ -466,6 +493,7 @@ class ResNet(nn.Module):
     grouped_merge: int = 0        # groups fused per dense block (0 = all)
     bn_subsample: int = 1         # BN stats from batch//s leading images
     bn_grouped: bool = False      # s independent groups (per-GPU parity)
+    bn_stat_stride: int = 1       # BN stats from every s-th spatial row/col
     pallas_interpret: bool = False
     conv1x1_as_dot: bool = False  # lower 1x1 convs as reshaped matmuls
 
@@ -475,7 +503,8 @@ class ResNet(nn.Module):
                        dtype=self.dtype)
         bn = lambda name, scale=True: _norm(
             self.bn_mom, self.bn_eps, self.dtype, name, scale,
-            self.bn_subsample, grouped=self.bn_grouped)()
+            self.bn_subsample, grouped=self.bn_grouped,
+            stat_stride=self.bn_stat_stride)()
         ra = not train
 
         x = x.astype(self.dtype)
@@ -543,6 +572,7 @@ class ResNet(nn.Module):
                     grouped_merge=self.grouped_merge,
                     bn_subsample=self.bn_subsample,
                     bn_grouped=self.bn_grouped,
+                    bn_stat_stride=self.bn_stat_stride,
                     tag_remat=tag_remat,
                     pallas_interpret=self.pallas_interpret,
                     conv1x1_as_dot=self.conv1x1_as_dot,

@@ -223,3 +223,102 @@ class TestGroupedBatchNorm:
         assert jax.tree.structure(v) == jax.tree.structure(v2)
         y, _ = grp.apply(v, x, train=True, mutable=["batch_stats"])
         assert np.isfinite(np.asarray(y)).all()
+
+
+class TestStatStrideBatchNorm:
+    """stat_stride (round 3): BN statistics from every s-th spatial
+    row/column of ALL images. Unlike bnsub (biased leading-image subset,
+    failed the convergence bar) this thins only the spatially-correlated
+    pixel sample while keeping every image."""
+
+    def test_stats_equal_batchnorm_on_strided_slice(self):
+        x = jax.random.normal(jax.random.key(20), (8, 8, 8, 3)) * 2 + 1
+        ours = SubsampleBatchNorm(momentum=0.9, epsilon=1e-5, subsample=1,
+                                  stat_stride=2)
+        ref = nn.BatchNorm(momentum=0.9, epsilon=1e-5)
+        v = ours.init(jax.random.key(21), x, use_running_average=False)
+        yo, mo = ours.apply(v, x, use_running_average=False,
+                            mutable=["batch_stats"])
+        _, mr = ref.apply(v, x[:, ::2, ::2], use_running_average=False,
+                          mutable=["batch_stats"])
+        for k in ("mean", "var"):
+            np.testing.assert_allclose(
+                np.asarray(mo["batch_stats"][k]),
+                np.asarray(mr["batch_stats"][k]), rtol=1e-5, atol=1e-6)
+        # full batch normalized with the strided-slice BATCH stats
+        xs = np.asarray(x[:, ::2, ::2], np.float64)
+        bmean = xs.mean((0, 1, 2))
+        bvar = (xs * xs).mean((0, 1, 2)) - bmean * bmean
+        want = (np.asarray(x) - bmean) / np.sqrt(bvar + 1e-5)
+        np.testing.assert_allclose(np.asarray(yo), want, rtol=1e-4,
+                                   atol=1e-5)
+
+    def test_stride_one_equals_batchnorm(self):
+        x = jax.random.normal(jax.random.key(22), (4, 4, 4, 3))
+        ours = SubsampleBatchNorm(momentum=0.9, epsilon=1e-5, subsample=1,
+                                  stat_stride=1)
+        ref = nn.BatchNorm(momentum=0.9, epsilon=1e-5)
+        v = ours.init(jax.random.key(23), x, use_running_average=False)
+        yo, _ = ours.apply(v, x, use_running_average=False,
+                           mutable=["batch_stats"])
+        yr, _ = ref.apply(v, x, use_running_average=False,
+                          mutable=["batch_stats"])
+        np.testing.assert_allclose(np.asarray(yo), np.asarray(yr),
+                                   rtol=1e-4, atol=1e-5)
+
+    def test_eval_identical_to_batchnorm(self):
+        x = jax.random.normal(jax.random.key(24), (4, 8, 8, 3))
+        ours = SubsampleBatchNorm(subsample=1, stat_stride=2, epsilon=1e-5)
+        ref = nn.BatchNorm(momentum=0.9, epsilon=1e-5)
+        v = ours.init(jax.random.key(25), x, use_running_average=False)
+        np.testing.assert_allclose(
+            np.asarray(ours.apply(v, x, use_running_average=True)),
+            np.asarray(ref.apply(v, x, use_running_average=True)),
+            rtol=1e-5, atol=1e-6)
+
+    def test_composes_with_grouped(self):
+        """grouped + stride: each group normalized with stats from the
+        strided pixels of ITS OWN chunk."""
+        x = jax.random.normal(jax.random.key(26), (8, 8, 8, 3)) * 3 - 1
+        ours = SubsampleBatchNorm(momentum=0.9, epsilon=1e-5, subsample=4,
+                                  grouped=True, stat_stride=2)
+        ref = nn.BatchNorm(momentum=0.9, epsilon=1e-5)
+        v = ours.init(jax.random.key(27), x, use_running_average=False)
+        yo, _ = ours.apply(v, x, use_running_average=False,
+                           mutable=["batch_stats"])
+        for g in range(4):
+            chunk = np.asarray(x[2 * g:2 * g + 2], np.float64)
+            ss = chunk[:, ::2, ::2]
+            bmean = ss.mean((0, 1, 2))
+            bvar = np.maximum(
+                0.0, (ss * ss).mean((0, 1, 2)) - bmean * bmean)
+            want = (chunk - bmean) / np.sqrt(bvar + 1e-5)
+            np.testing.assert_allclose(
+                np.asarray(yo[2 * g:2 * g + 2]), want, rtol=1e-4,
+                atol=1e-5)
+
+    def test_model_level_and_cli(self):
+        import dataclasses
+
+        from resnet_tpu.config import Config, parse_config
+        from resnet_tpu.models.registry import get_model
+
+        kw = dict(units=(1, 1), filters=(8, 16, 32), num_classes=10,
+                  bottleneck=True, version=1, cifar_stem=True)
+        base = ResNet(**kw)
+        strided = ResNet(bn_stat_stride=2, **kw)
+        x = jax.random.normal(jax.random.key(28), (8, 16, 16, 3))
+        v = base.init(jax.random.key(29), x, train=False)
+        v2 = strided.init(jax.random.key(29), x, train=False)
+        assert jax.tree.structure(v) == jax.tree.structure(v2)
+        np.testing.assert_allclose(
+            np.asarray(base.apply(v, x, train=False)),
+            np.asarray(strided.apply(v, x, train=False)),
+            rtol=1e-5, atol=1e-5)
+        y, _ = strided.apply(v, x, train=True, mutable=["batch_stats"])
+        assert np.isfinite(np.asarray(y)).all()
+
+        cfg = parse_config(["--bn-stat-stride", "2"])
+        assert cfg.train.bn_stat_stride == 2
+        model = get_model(cfg)
+        assert model.bn_stat_stride == 2

@@ -64,15 +64,17 @@ def shard_tree(tmp_path_factory):
     return str(root)
 
 
-@pytest.mark.parametrize("bn_mode", ["full", "bnsub", "grouped"])
+@pytest.mark.parametrize("bn_mode", ["full", "bnsub", "grouped", "stride"])
 def test_record_pipeline_converges(shard_tree, bn_mode):
     """Convergence bar for EVERY shipped BN statistics mode (VERDICT r2:
     the headline BN mode must have convergence evidence, not just a clock).
     bnsub/grouped run s=3 -> 8-image stats samples at batch 24, the same
     stats-per-sample ballpark as the recipe's 32-image samples at bs256.
+    stride runs bn_stat_stride=2 (stats from every 2nd pixel row/column of
+    ALL images — the round-3 spatial-subsampling mode).
 
-    full and grouped must PASS the bar. bnsub is pinned as the measured
-    COUNTER-evidence: normalizing the whole batch with one leading
+    full, grouped, and stride must PASS the bar. bnsub is pinned as the
+    measured COUNTER-evidence: normalizing the whole batch with one leading
     subset's statistics skews the BN running stats and tanks validation
     (accuracy lands at ~0.0 here) — the reason round 3 demoted bnsub
     from benchmark default to an explicit throughput-only flag
@@ -103,7 +105,9 @@ def test_record_pipeline_converges(shard_tree, bn_mode):
     cfg.train.lr_steps = (4, 5)
     cfg.train.frequent = 5
     cfg.train.model_prefix = ""
-    if bn_mode != "full":
+    if bn_mode == "stride":
+        cfg.train.bn_stat_stride = 2
+    elif bn_mode != "full":
         cfg.train.bn_subsample = 3
         cfg.train.bn_grouped = bn_mode == "grouped"
 

@@ -20,8 +20,9 @@ import numpy as np
 
 # per BN statistics mode: "full" (nn.BatchNorm), "bnsub" (stats from the
 # leading batch//4 images), "grouped" (4 independent groups — per-GPU
-# parity semantics). Pinning all three means silent drift in ANY shipped
-# BN mode trips a test, not just the default.
+# parity semantics), "stride" (stats from every 2nd spatial row/column of
+# all images — round-3 spatial subsampling). Pinning all four means silent
+# drift in ANY shipped BN mode trips a test, not just the default.
 GOLDEN_LOSSES = {
     "full": [
         3.1832244396,
@@ -53,6 +54,16 @@ GOLDEN_LOSSES = {
         2.7649259567,
         1.4601552486,
     ],
+    "stride": [
+        3.3518309593,
+        2.3115787506,
+        2.1638877392,
+        2.2601828575,
+        1.8556462526,
+        1.9113082886,
+        1.9296820164,
+        1.4875383377,
+    ],
 }
 
 
@@ -72,7 +83,9 @@ def _trajectory(bn_mode="full"):
     cfg.train.batch_size = 16
     cfg.train.lr = 0.05
     cfg.train.seed = 0
-    if bn_mode != "full":
+    if bn_mode == "stride":
+        cfg.train.bn_stat_stride = 2
+    elif bn_mode != "full":
         cfg.train.bn_subsample = 4
         cfg.train.bn_grouped = bn_mode == "grouped"
 
@@ -87,7 +100,7 @@ def _trajectory(bn_mode="full"):
     return losses
 
 
-@pytest.mark.parametrize("bn_mode", ["full", "bnsub", "grouped"])
+@pytest.mark.parametrize("bn_mode", ["full", "bnsub", "grouped", "stride"])
 def test_trajectory_matches_golden(bn_mode):
     losses = _trajectory(bn_mode)
     np.testing.assert_allclose(
@@ -109,7 +122,7 @@ if __name__ == "__main__":
     import jax
     jax.config.update("jax_platforms", "cpu")
     print("GOLDEN_LOSSES = {")
-    for mode in ["full", "bnsub", "grouped"]:
+    for mode in ["full", "bnsub", "grouped", "stride"]:
         print(f'    "{mode}": [')
         for l in _trajectory(mode):
             print(f"        {l:.10f},")
