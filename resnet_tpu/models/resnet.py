@@ -216,11 +216,16 @@ class SubsampleBatchNorm(nn.Module):
       images (``x[:, ::s, ::s]``). Unlike bnsub (which reads a biased
       32-image subset and FAILS the convergence bar — PERF_NOTES.md
       round 3), this keeps every image in the sample and only thins the
-      spatially-correlated pixels: at bs256/stride-2 the stage-1 stats
-      still average 3.2M samples/channel. The stats reduce reads 1/s² of
-      the activation bytes; rows are W*C-contiguous so the strided skip
-      is real HBM traffic saved, not cache-line waste. Composes with
-      ``subsample``/``grouped`` (stride applies inside the stats slice).
+      spatially-correlated pixels, and it PASSES the convergence bar
+      and carries a golden-trajectory pin. It is nonetheless a MEASURED
+      NEGATIVE RESULT for throughput (PERF_NOTES.md round 3b): the
+      hypothesis was 1/s² stats-sweep HBM traffic, but on the TPU's
+      (8,128)-tiled layout the sublane-strided slice does not fuse into
+      the reduce — XLA materializes a re-tiling copy of the slice, so
+      R50 bs256 measured 2045 img/s (s=2) / 2431 (s=4) vs 2475
+      full-batch. Kept as an off-default knob with oracle + golden
+      coverage. Composes with ``subsample``/``grouped`` (stride applies
+      inside the stats slice; grouped+stride measured 936 — worse).
 
     Eval semantics are identical to nn.BatchNorm in all flavors, and the
     param/variable tree is identical (checkpoints interchange).
