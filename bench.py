@@ -86,6 +86,17 @@ def main():
                         "groups, each with its own stats — the exact "
                         "single-chip analog of per-GPU BatchNorm "
                         "(default: the shipped preset's choice)")
+    p.add_argument("--bn-ema", action=argparse.BooleanOptionalAction,
+                   default=None,
+                   help="bn-ema mode (PERF_NOTES round 3c; the shipped "
+                        "imagenet_resnet50 default): live batch mean "
+                        "(gradient-carrying) + stop-gradient clamped "
+                        "variance + radial-projection optimizer — kills "
+                        "the BN backward's activation re-read. The "
+                        "benchmark measures the steady-state ema program "
+                        "(training runs prime it with a 2-epoch "
+                        "batch-stats warmup). --no-bn-ema measures "
+                        "reference-exact full-batch BN")
     p.add_argument("--bn-stat-stride", type=int, default=None,
                    help="BN stats from every s-th spatial row/column of "
                         "ALL images (1/s^2 stats-sweep traffic; keeps "
@@ -143,6 +154,16 @@ def main():
         cfg.train.bn_grouped = args.bn_grouped
     if args.bn_stat_stride is not None:
         cfg.train.bn_stat_stride = args.bn_stat_stride
+    if args.bn_ema is not None:
+        cfg.train.bn_ema = args.bn_ema
+        if args.bn_ema and args.bn_grouped is None:
+            cfg.train.bn_grouped = False   # ema vs grouped: registry guard
+    elif cfg.train.bn_ema and (args.bn_grouped or args.bn_subsample):
+        # an explicit batch-stats BN mode request overrides the preset's
+        # bn-ema default (the two don't compose — registry guard)
+        print("# explicit BN-mode flags: forcing --no-bn-ema",
+              file=sys.stderr)
+        cfg.train.bn_ema = False
     if args.unit_chain != "off" and cfg.train.bn_stat_stride != 1:
         print(f"# --unit-chain {args.unit_chain}: forcing --bn-stat-stride 1",
               file=sys.stderr)
@@ -156,6 +177,10 @@ def main():
               file=sys.stderr)
         cfg.train.bn_subsample = 1
         cfg.train.bn_grouped = False
+    if args.unit_chain != "off" and cfg.train.bn_ema:
+        print(f"# --unit-chain {args.unit_chain}: forcing --no-bn-ema",
+              file=sys.stderr)
+        cfg.train.bn_ema = False
     cfg.train.remat_policy = args.remat_policy
     cfg.data.max_rotate_angle = args.max_rotate_angle
     if args.quick:
@@ -264,7 +289,9 @@ def main():
         name += "_gdense"
         if cfg.train.grouped_merge:
             name += f"{cfg.train.grouped_merge}"
-    if cfg.train.bn_subsample > 1:
+    if cfg.train.bn_ema:
+        name += f"_bnema{cfg.train.bn_subsample}"
+    elif cfg.train.bn_subsample > 1:
         name += (f"_bngroup{cfg.train.bn_subsample}" if cfg.train.bn_grouped
                  else f"_bnsub{cfg.train.bn_subsample}")
     if cfg.train.bn_stat_stride > 1:

@@ -53,6 +53,7 @@ def model_spec(m: ModelConfig, num_classes: int):
 
 def get_model(cfg: Config, dtype: Any = None, remat: bool = None,
               fused: bool = None, unit_chain: str = None,
+              bn_ema: bool = None,
               pallas_interpret: bool = False) -> ResNet:
     m = cfg.model
     units, filters, bottleneck, cifar = model_spec(m, cfg.data.num_classes)
@@ -65,11 +66,29 @@ def get_model(cfg: Config, dtype: Any = None, remat: bool = None,
     bn_subsample = getattr(cfg.train, "bn_subsample", 1)
     bn_grouped = getattr(cfg.train, "bn_grouped", False)
     bn_stat_stride = getattr(cfg.train, "bn_stat_stride", 1)
+    if bn_ema is None:
+        bn_ema = getattr(cfg.train, "bn_ema", False)
+    bn_ema_clamp = getattr(cfg.train, "bn_ema_clamp", 1.0)
     remat_policy = getattr(cfg.train, "remat_policy", "none")
     if bn_grouped and bn_subsample <= 1:
         raise ValueError(
             "--bn-grouped needs --bn-subsample > 1 (the number of "
             "independent normalization groups)")
+    if bn_ema and 0 < bn_ema_clamp < 1:
+        raise ValueError(
+            "--bn-ema-clamp is a trust-region RATIO: >= 1 (1.0 = normalize "
+            "with the live batch evidence, larger = more running-stats "
+            "slack), or 0 to disable clamping entirely")
+    if bn_ema and (bn_grouped or fused or unit_chain != "off"):
+        # grouped normalizes each group with its OWN batch stats — the
+        # opposite of normalizing with running stats; the fused/chain
+        # kernels compute batch stats in their epilogues. Silently
+        # ignoring either flag would run something other than what the
+        # flags say.
+        raise ValueError(
+            "--bn-ema does not compose with --bn-grouped, --fused-convbn "
+            "or --unit-chain (those compute/apply batch statistics); "
+            "drop one of the flags")
     if unit_chain != "off" and (bn_subsample > 1 or bn_stat_stride > 1
                                 or remat_policy == "conv"):
         # the chain dataflow computes full-batch stats in its epilogues
@@ -100,5 +119,7 @@ def get_model(cfg: Config, dtype: Any = None, remat: bool = None,
         bn_subsample=bn_subsample,
         bn_grouped=bn_grouped,
         bn_stat_stride=bn_stat_stride,
+        bn_ema=bn_ema,
+        bn_ema_clamp=bn_ema_clamp,
         pallas_interpret=pallas_interpret,
     )

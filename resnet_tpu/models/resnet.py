@@ -160,7 +160,8 @@ def _conv_or_dot(features, kernel_size, strides=(1, 1), dtype=jnp.float32,
 
 def _norm(mom: float, eps: float, dtype, name: str, use_scale: bool = True,
           subsample: int = 1, tag_stats: bool = False,
-          grouped: bool = False, stat_stride: int = 1):
+          grouped: bool = False, stat_stride: int = 1,
+          ema_normalize: bool = False, ema_clamp: float = 1.0):
     """BatchNorm matching MXNet semantics: momentum 0.9 EMA on running stats.
 
     MXNet ``BatchNorm(momentum=m)`` updates ``moving = m*moving + (1-m)*batch``
@@ -177,11 +178,12 @@ def _norm(mom: float, eps: float, dtype, name: str, use_scale: bool = True,
     selective-remat policy keeps the tiny per-channel reductions instead of
     re-running full-activation sweeps in backward.
     """
-    if subsample > 1 or tag_stats or stat_stride > 1:
+    if subsample > 1 or tag_stats or stat_stride > 1 or ema_normalize:
         return partial(
             SubsampleBatchNorm, momentum=mom, epsilon=eps, dtype=dtype,
             use_scale=use_scale, subsample=subsample, tag_stats=tag_stats,
-            grouped=grouped, stat_stride=stat_stride, name=name)
+            grouped=grouped, stat_stride=stat_stride,
+            ema_normalize=ema_normalize, ema_clamp=ema_clamp, name=name)
     return partial(
         nn.BatchNorm, momentum=mom, epsilon=eps, dtype=dtype,
         use_scale=use_scale, name=name)
@@ -227,6 +229,33 @@ class SubsampleBatchNorm(nn.Module):
       coverage. Composes with ``subsample``/``grouped`` (stride applies
       inside the stats slice; grouped+stride measured 936 — worse).
 
+    - ``ema_normalize=True`` (bn-ema, round 3c): the structural-traffic
+      mode — kill the VARIANCE path's backward sweep, keep everything
+      that convergence measurably needs. Train-mode normalization uses
+      the live batch mean (gradient-carrying: its VJP re-uses the
+      sum-of-gy reduce dbeta computes anyway and fuses into the conv
+      backward) and a STOP-GRADIENT variance clipped to the
+      ``ema_clamp`` trust region around the live batch variance
+      (``ema_clamp=1.0``, the shipped value, pins it to the batch
+      evidence exactly). Dropping the variance gradient removes the
+      ``mean(gy * x_hat)`` correction from the input gradient — the
+      backward pass that re-reads the activations — so the BN backward
+      collapses into the conv backward's elementwise epilogue. The lost
+      scale-feedback (BN's implicit radial gradient projection) is
+      reinstated in weight space by ``train/optim.radial_projection``;
+      without it this mode DIVERGES (pinned counter-evidence in
+      tests/test_convergence_record.py). The EMA refresh runs from a
+      stop-gradient leading-``batch // subsample`` sweep; ``subsample=1``
+      (shipped) measured FASTER than 8 — the sliced reduce breaks the
+      producing conv's fusion — and keeps the eval-stats stream
+      identical to full-batch BN's. Needs primed stats + settled early
+      dynamics: the Solver runs ``bn_ema_warmup`` steps (negative =
+      epochs; shipped -2) of true batch-stats BN before the host-side
+      program switch. The dynamics ladder is measured in PERF_NOTES.md
+      (pure frozen stats: NaN; + clamp: runaway at the trust boundary;
+      + projection: stable but CE-inflated; + live mean slack=0: bar at
+      0.67; + mean gradient: bar at 1.0).
+
     Eval semantics are identical to nn.BatchNorm in all flavors, and the
     param/variable tree is identical (checkpoints interchange).
     """
@@ -238,6 +267,9 @@ class SubsampleBatchNorm(nn.Module):
     subsample: int = 8
     grouped: bool = False
     stat_stride: int = 1
+    ema_normalize: bool = False
+    ema_clamp: float = 1.0    # trust region (σ-ratio / σ-units) vs the
+                              # subsample evidence; 0 disables
     tag_stats: bool = False   # checkpoint_name the batch stats "bn_stats"
 
     @nn.compact
@@ -300,6 +332,66 @@ class SubsampleBatchNorm(nn.Module):
             out = (xs - gmean.reshape(bshape)) * inv.reshape(bshape) + bias
             return out.reshape(x.shape).astype(self.dtype)
 
+        if not use_running_average and self.ema_normalize:
+            # read the running stats BEFORE the refresh mutates them (pre-
+            # refresh values feed the trust region, so a resumed step
+            # replays identically); at ema_clamp=1.0 the clip collapses
+            # them onto the live batch evidence entirely
+            mean = jax.lax.stop_gradient(ra_mean.value)
+            var = jax.lax.stop_gradient(ra_var.value)
+            k = max(1, x.shape[0] // self.subsample)
+            # the batch mean keeps its GRADIENT (mean_grad below): its VJP
+            # only re-uses the sum-of-gy reduce that dbeta computes anyway
+            # and fuses into the conv backward as a broadcast subtract —
+            # unlike the variance VJP, which would re-read the activations.
+            # Shift-feedback (gy centering) comes back for free; the
+            # scale-feedback is restored in weight space by the optimizer's
+            # radial projection (train/optim.py radial_projection).
+            bmean_g = jnp.mean(
+                _stat_slice(x[:k]).astype(jnp.float32),
+                axis=tuple(range(x.ndim - 1)))
+            bmean = jax.lax.stop_gradient(bmean_g)
+            xs = jax.lax.stop_gradient(
+                _stat_slice(x[:k]).astype(jnp.float32))
+            bvar = jnp.maximum(
+                0.0, jnp.mean(
+                    xs * xs, axis=tuple(range(xs.ndim - 1)))
+                - bmean * bmean)
+            if self.ema_clamp > 0:
+                # Batch-Renorm-style trust region (Ioffe 2017 rmax/dmax,
+                # applied in stats space with FULL stop-gradient): clamp
+                # the running stats against the current subsample's
+                # evidence, which is already in hand for the EMA refresh
+                # — zero extra HBM traffic. When activation statistics
+                # drift fast (early training, LR steps) the raw EMA lags
+                # and under-normalizes; across ~50 BN layers that
+                # mismatch compounds into divergence (measured: NaN 2
+                # steps after an unclamped switch). In steady state
+                # var_r/bvar ≈ 1 and the clamp is inactive — exact
+                # running-stats semantics, train == eval normalize.
+                c2 = self.ema_clamp * self.ema_clamp
+                var = jnp.clip(var, bvar / c2, bvar * c2 + self.epsilon)
+                # mean slack (clamp-1)*sigma so the knob is consistent at
+                # its tight end: clamp=1.0 pins BOTH stats to the live
+                # batch evidence. The first formulation allowed +-1*sigma
+                # of mean lag at clamp=1 — measured: a persistent
+                # post-switch CE inflation (1.6 -> 4-8) as every BN layer
+                # ran up to 1 sigma off-center into its ReLU while the
+                # variance tracked exactly.
+                sd = jnp.sqrt(bvar + self.epsilon) * (self.ema_clamp - 1.0)
+                mean = jnp.clip(mean, bmean - sd, bmean + sd)
+            _ema(bmean, bvar)
+            inv = jax.lax.rsqrt(var + self.epsilon)
+            if scale is not None:
+                inv = inv * scale
+            # normalize with mean = live batch mean (gradient-carrying)
+            # plus the stop-gradient bounded EMA offset: at clamp=1 this
+            # is exactly (x - bmean_g); at larger clamps the EMA offset
+            # rides along as a constant within the trust region
+            mean_n = bmean_g + jax.lax.stop_gradient(mean - bmean)
+            out = (x.astype(jnp.float32) - mean_n) * inv + bias
+            return out.astype(self.dtype)
+
         if use_running_average:
             mean, var = ra_mean.value, ra_var.value
         else:
@@ -345,6 +437,9 @@ class ResidualUnit(nn.Module):
     bn_subsample: int = 1         # BN stats from batch//s leading images
     bn_grouped: bool = False      # s independent groups (per-GPU parity)
     bn_stat_stride: int = 1       # BN stats from every s-th spatial row/col
+    bn_ema: bool = False          # normalize with running stats (stop-grad);
+                                  # EMA refreshed from the subsample sweep
+    bn_ema_clamp: float = 1.0     # trust region vs live batch evidence
     tag_remat: bool = False       # checkpoint_name conv outs / BN stats for
                                   # the selective-remat policy (ResNet below)
     pallas_interpret: bool = False
@@ -381,7 +476,7 @@ class ResidualUnit(nn.Module):
         bn = lambda name, scale=True: _norm(
             self.bn_mom, self.bn_eps, self.dtype, name, scale,
             self.bn_subsample, self.tag_remat, self.bn_grouped,
-            self.bn_stat_stride)()
+            self.bn_stat_stride, self.bn_ema, self.bn_ema_clamp)()
         relu = nn.relu
         ra = not train
 
@@ -499,6 +594,8 @@ class ResNet(nn.Module):
     bn_subsample: int = 1         # BN stats from batch//s leading images
     bn_grouped: bool = False      # s independent groups (per-GPU parity)
     bn_stat_stride: int = 1       # BN stats from every s-th spatial row/col
+    bn_ema: bool = False          # normalize with running stats (stop-grad)
+    bn_ema_clamp: float = 1.0     # trust region vs live batch evidence
     pallas_interpret: bool = False
     conv1x1_as_dot: bool = False  # lower 1x1 convs as reshaped matmuls
 
@@ -509,7 +606,8 @@ class ResNet(nn.Module):
         bn = lambda name, scale=True: _norm(
             self.bn_mom, self.bn_eps, self.dtype, name, scale,
             self.bn_subsample, grouped=self.bn_grouped,
-            stat_stride=self.bn_stat_stride)()
+            stat_stride=self.bn_stat_stride, ema_normalize=self.bn_ema,
+            ema_clamp=self.bn_ema_clamp)()
         ra = not train
 
         x = x.astype(self.dtype)
@@ -578,6 +676,8 @@ class ResNet(nn.Module):
                     bn_subsample=self.bn_subsample,
                     bn_grouped=self.bn_grouped,
                     bn_stat_stride=self.bn_stat_stride,
+                    bn_ema=self.bn_ema,
+                    bn_ema_clamp=self.bn_ema_clamp,
                     tag_remat=tag_remat,
                     pallas_interpret=self.pallas_interpret,
                     conv1x1_as_dot=self.conv1x1_as_dot,

@@ -110,6 +110,24 @@ class Solver:
         self.cfg = cfg
         self._sigterm = False
         self.iter_state = {}
+        # --bn-ema runs the first bn_ema_warmup steps under batch-stats BN
+        # (to prime the running stats the ema program normalizes with),
+        # then swaps the state's apply_fn — a host-side program switch; the
+        # two models share one param/variable tree. fit() arms the switch;
+        # a bare train_epoch() call runs whatever apply_fn the state holds.
+        self._host_step = 0
+        self._bn_ema_switch = None
+        self._bn_ema_pending = False
+        if t.bn_ema:
+            import dataclasses as _dc
+            from resnet_tpu.models.registry import get_model
+            # warmup primes the EMA under FULL-BATCH stats BN (the
+            # convergence-sound shipped mode — not bnsub, whose subset
+            # stats failed the bar); same param/variable tree
+            warm = cfg.replace(train=_dc.replace(
+                t, bn_ema=False, bn_subsample=1, bn_grouped=False))
+            self._bn_ema_warmup_apply = get_model(warm).apply
+            self._bn_ema_apply = get_model(cfg).apply
         # orbax steps THIS run has written (or resumed from): the
         # rank-deterministic source of the overwrite decision — orbax
         # delete is a collective, so ranks must agree without peeking at
@@ -183,7 +201,14 @@ class Solver:
         for batch in prefetch_to_device(
                 train_iter.epoch_iter(epoch),
                 size=self.cfg.data.prefetch_buffer, mesh=self.mesh):
+            if self._bn_ema_pending and self._host_step >= self._bn_ema_switch:
+                state = state.replace(apply_fn=self._bn_ema_apply)
+                self._bn_ema_pending = False
+                self.log.info(
+                    "bn-ema: warmup done at step %d — switching to "
+                    "running-stats normalization", self._host_step)
             state, metrics = self.train_step(state, batch)
+            self._host_step += 1
             nbatch += 1
             window.append(metrics)
             if t.checkpoint_frequent and t.model_prefix \
@@ -274,6 +299,17 @@ class Solver:
         state = self.init_state()
         train_iter.load_state_dict(self.iter_state)  # replay data stream
         num_epochs = num_epochs or t.num_epochs
+        self._host_step = int(state.step)   # == global batches completed
+        if t.bn_ema:
+            self._bn_ema_switch = (
+                t.bn_ema_warmup if t.bn_ema_warmup >= 0
+                else -t.bn_ema_warmup * train_iter.steps_per_epoch)
+            if self._host_step < self._bn_ema_switch:
+                # resume-deterministic: the active program is a pure
+                # function of (config, step), so a killed/resumed run
+                # re-enters the same phase
+                state = state.replace(apply_fn=self._bn_ema_warmup_apply)
+                self._bn_ema_pending = True
         from resnet_tpu.utils.profiler import maybe_trace
 
         # align ranks before the FIRST collective dispatch: per-rank setup

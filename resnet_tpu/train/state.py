@@ -18,7 +18,7 @@ import optax
 
 from resnet_tpu.config import Config
 from resnet_tpu.models.registry import get_model
-from resnet_tpu.train.optim import mxnet_sgd
+from resnet_tpu.train.optim import mxnet_sgd, radial_projection
 from resnet_tpu.train.schedule import schedule_from_config
 
 
@@ -52,6 +52,12 @@ def create_train_state(cfg: Config, rng=None) -> TrainState:
     tx = mxnet_sgd(schedule, momentum=cfg.train.mom,
                    weight_decay=cfg.train.wd,
                    nesterov=cfg.train.optimizer == "nag")
+    if getattr(cfg.train, "bn_ema", False) \
+            and getattr(cfg.train, "bn_ema_project", True):
+        # frozen-stats BN drops BatchNorm's implicit radial-gradient
+        # projection; reinstate it in weight space or training diverges
+        # (optim.radial_projection docstring)
+        tx = optax.chain(radial_projection(), tx)
     return TrainState(
         step=jnp.zeros([], jnp.int32),
         params=variables["params"],

@@ -8,14 +8,17 @@ dims -> MXNet-semantics RRC/mirror/HSL on-device augmentation -> ResNet-50
 contract, box sampling, resample matmuls, HSL, BN, SGD) trips this test
 instead of softly degrading a convergence bar.
 
-Two BN statistics modes are pinned: full-batch (the preset default's
-semantics at 1 device) and sub-batch stats (bn_subsample=2 at
-batch 16 — the same stats-fraction family as the measured-fastest
-bnsub8-at-bs256 mode; s=4's 4-image stats explode on this skewed toy
-set, an instability the 32-image stats of the real recipe do not have;
-see PERF_NOTES.md). The lr is small: this is a
-NUMERICS pin, and a diverging trajectory (giant losses/NaN) would make
-the float32 tolerance meaningless.
+Three BN statistics modes are pinned: full-batch, sub-batch stats
+(bn_subsample=2 at batch 16 — the same stats-fraction family as the
+throughput-only bnsub8 mode; s=4's 4-image stats explode on this skewed
+toy set, an instability the 32-image stats of the real recipe do not
+have; see PERF_NOTES.md), and bn-ema — the imagenet_resnet50 preset's
+SHIPPED mode since round 3c (live-evidence normalize, stop-grad
+variance, mean gradient, radial-projection optimizer; run here without
+the Solver's warmup switch, which at ema_clamp=1.0 only affects the
+eval-stats stream, not the train-mode math this test pins). The lr is
+small: this is a NUMERICS pin, and a diverging trajectory (giant
+losses/NaN) would make the float32 tolerance meaningless.
 
 Golden values generated on XLA:CPU float32 (conftest forces CPU);
 regenerate with ``python -m tests.test_golden_imagenet_path`` after a
@@ -45,6 +48,16 @@ GOLDEN = {
         72.8387908936,
         119.2375335693,
         329.0043945312,
+    ],
+    "ema": [
+        1.5549824238,
+        2.4896173477,
+        2.7944855690,
+        1.1323145628,
+        2.2023582458,
+        0.9228355289,
+        0.5670394301,
+        5.0363755226,
     ],
 }
 
@@ -98,6 +111,8 @@ def _trajectory(tree, bn_mode="full"):
     cfg.train.seed = 0
     if bn_mode == "bnsub":
         cfg.train.bn_subsample = 2
+    elif bn_mode == "ema":
+        cfg.train.bn_ema = True
 
     aug_fn = lambda imgs, rng, dims=None: augment.augment_imagenet(
         imgs, rng, cfg.data, cfg.data.image_shape[:2], jax.numpy.float32,
@@ -122,7 +137,7 @@ def tree(tmp_path_factory):
     return _make_tree(tmp_path_factory.mktemp("golden_imagenet"))
 
 
-@pytest.mark.parametrize("bn_mode", ["full", "bnsub"])
+@pytest.mark.parametrize("bn_mode", ["full", "bnsub", "ema"])
 def test_production_path_matches_golden(tree, bn_mode):
     losses = _trajectory(tree, bn_mode)
     np.testing.assert_allclose(
@@ -147,7 +162,7 @@ if __name__ == "__main__":
     root = pathlib.Path(tempfile.mkdtemp(prefix="golden_imagenet_"))
     tree_dir = _make_tree(root)
     print("GOLDEN = {")
-    for mode in ["full", "bnsub"]:
+    for mode in ["full", "bnsub", "ema"]:
         print(f'    "{mode}": [')
         for l in _trajectory(tree_dir, mode):
             print(f"        {l:.10f},")

@@ -64,6 +64,22 @@ GOLDEN_LOSSES = {
         1.9296820164,
         1.4875383377,
     ],
+    # 4 full-batch warmup steps (== "full" prefix), then the bn-ema
+    # program (live-evidence normalize, stop-grad variance, mean grad,
+    # radial projection) — the pin covers the program SWITCH, not just
+    # each program. Values run at the shipped semantics (subsample 1);
+    # the smooth hand-off (no step-5 jump) is itself the regression
+    # signal: every earlier dynamics bug showed up right here
+    "ema": [
+        3.1832244396,
+        1.9914909601,
+        2.1838951111,
+        2.0273394585,
+        1.9651434422,
+        1.4724078178,
+        2.2583467960,
+        1.3274533749,
+    ],
 }
 
 
@@ -85,6 +101,10 @@ def _trajectory(bn_mode="full"):
     cfg.train.seed = 0
     if bn_mode == "stride":
         cfg.train.bn_stat_stride = 2
+    elif bn_mode == "ema":
+        # shipped semantics: subsample stays 1 (live full-batch evidence,
+        # gradient-carrying mean, stop-grad variance, radial projection)
+        cfg.train.bn_ema = True
     elif bn_mode != "full":
         cfg.train.bn_subsample = 4
         cfg.train.bn_grouped = bn_mode == "grouped"
@@ -92,15 +112,31 @@ def _trajectory(bn_mode="full"):
     images, labels = synthetic_cifar(128, 10, (16, 16, 3), seed=0)
     it = MemoryIter(images, labels, 16, shuffle=True, seed=0)
     state = create_train_state(cfg)
+    ema_apply = None
+    if bn_mode == "ema":
+        # mirror the Solver's bn_ema_warmup program switch: 4 steps of
+        # FULL-BATCH-stats BN prime the running stats (the Solver's
+        # warmup model), then the ema program (running-stats normalize)
+        # takes over mid-trajectory — so the pin covers BOTH programs
+        # and the switch itself
+        import dataclasses as _dc
+        from resnet_tpu.models.registry import get_model
+        ema_apply = state.apply_fn
+        warm = cfg.replace(train=_dc.replace(
+            cfg.train, bn_ema=False, bn_subsample=1))
+        state = state.replace(apply_fn=get_model(warm).apply)
     step = make_train_step(mesh=None)
     losses = []
-    for batch in it.epoch_iter(0):
+    for i, batch in enumerate(it.epoch_iter(0)):
+        if ema_apply is not None and i == 4:
+            state = state.replace(apply_fn=ema_apply)
         state, metrics = step(state, batch)
         losses.append(float(metrics["loss_sum"] / metrics["count"]))
     return losses
 
 
-@pytest.mark.parametrize("bn_mode", ["full", "bnsub", "grouped", "stride"])
+@pytest.mark.parametrize("bn_mode",
+                         ["full", "bnsub", "grouped", "stride", "ema"])
 def test_trajectory_matches_golden(bn_mode):
     losses = _trajectory(bn_mode)
     np.testing.assert_allclose(
@@ -122,7 +158,7 @@ if __name__ == "__main__":
     import jax
     jax.config.update("jax_platforms", "cpu")
     print("GOLDEN_LOSSES = {")
-    for mode in ["full", "bnsub", "grouped", "stride"]:
+    for mode in ["full", "bnsub", "grouped", "stride", "ema"]:
         print(f'    "{mode}": [')
         for l in _trajectory(mode):
             print(f"        {l:.10f},")
