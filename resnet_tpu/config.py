@@ -227,47 +227,67 @@ def imagenet_resnet50() -> Config:
 
     Ships ``bn_ema`` (round 3c): live-batch-evidence normalization with a
     stop-gradient variance + radial-projection optimizer + 2-epoch
-    batch-stats warmup. Measured 2759 img/s/chip vs 2515 full-batch BN
-    (+9.7%) at R50 bs256 bf16, and it PASSES the record-pipeline
-    convergence bar (val 1.0 on the bar config — full ladder in
-    PERF_NOTES.md round 3c; the throughput-only bnsub8 mode it replaces
-    failed that bar)."""
+    batch-stats warmup. It PASSES the record-pipeline convergence bar
+    (val 1.0 on the bar config — full ladder in PERF_NOTES.md round 3c;
+    the throughput-only bnsub8 mode it replaces failed that bar).
+
+    Per-chip batch 128 with linearly scaled lr 0.05 (round 3d): the
+    batch-size optimum moved under the bn-ema program — measured
+    2875 img/s/chip at bs128 vs 2759 at bs256 (sharp peak: 2574@64,
+    2666@96, 2577@192 — 128 is the MXU lane width). lr follows the
+    0.1-per-256 linear-scaling rule every preset here uses (the 1024-
+    and 4096-batch presets scale the same way); under N-way DP the
+    global batch is 128N — enable --warmup at pod scale exactly as the
+    large-batch presets do."""
     cfg = Config()
-    cfg.train = dataclasses.replace(cfg.train, bn_ema=True)
+    cfg.train = dataclasses.replace(cfg.train, bn_ema=True,
+                                    batch_size=128, lr=0.05)
     return cfg
 
 
 def imagenet_resnext50() -> Config:
     """BASELINE config #3: ResNeXt-50 32x4d.
 
-    Execution recipe (measured, PERF_NOTES.md round-2 sweep): the
-    merge-2 block-diagonal lowering of the grouped 3x3s is the fastest
-    on v5e (1723 img/s vs 1570 plain grouped); bn_subsample stays off —
-    it regresses every ResNeXt variant ~7% (ResNet-only win)."""
+    Execution recipe (measured, PERF_NOTES.md round-2 sweep + round 3d):
+    the merge-2 block-diagonal lowering of the grouped 3x3s is the
+    fastest on v5e (1723 img/s vs 1570 plain grouped); bn_subsample
+    stays off — it regresses every ResNeXt variant ~7% (ResNet-only
+    win); bn_ema (round 3d) lifts it to 1899 img/s (+9.8%) and carries
+    the same convergence evidence as ResNet (record-pipeline bar PASS,
+    ResNeXt rung in tests/test_convergence_record.py). Batch stays 256:
+    the R50 bs128 peak does not transfer (1907@128 — noise-level)."""
     cfg = Config()
     cfg.model = dataclasses.replace(cfg.model, network="resnext", depth=50)
     cfg.train = dataclasses.replace(cfg.train, grouped_dense=True,
-                                    grouped_merge=2)
+                                    grouped_merge=2, bn_ema=True)
     return cfg
 
 
 def imagenet_resnet101_bf16() -> Config:
-    """BASELINE config #4: ResNet-101 bf16 mixed precision, large-batch warmup."""
+    """BASELINE config #4: ResNet-101 bf16 mixed precision, large-batch warmup.
+
+    bn_ema since round 3d: +6.7% measured at depth 101 (1839 vs 1723
+    img/s at bs256; same BN layers and dynamics as the bar-validated
+    R50 recipe — PERF_NOTES.md round 3c/3d)."""
     cfg = Config()
     cfg.model = dataclasses.replace(cfg.model, depth=101)
     cfg.train = dataclasses.replace(
         cfg.train, batch_size=1024, lr=0.4, warmup=True, warmup_epochs=5,
-        dtype="bfloat16")
+        dtype="bfloat16", bn_ema=True)
     return cfg
 
 
 def imagenet_resnet152_dp() -> Config:
-    """BASELINE config #5: ResNet-152 data-parallel pod scaling."""
+    """BASELINE config #5: ResNet-152 data-parallel pod scaling.
+
+    bn_ema since round 3d: +3.8% measured at depth 152 (1268 vs 1222
+    img/s at bs256 single-chip; composes with remat and both dp modes —
+    the driver dryrun covers the sharded ema program)."""
     cfg = Config()
     cfg.model = dataclasses.replace(cfg.model, depth=152)
     cfg.train = dataclasses.replace(
         cfg.train, batch_size=4096, lr=1.6, warmup=True, warmup_epochs=5,
-        dtype="bfloat16", remat=True, num_devices=16)
+        dtype="bfloat16", remat=True, num_devices=16, bn_ema=True)
     return cfg
 
 

@@ -45,11 +45,22 @@ class TestCLI:
         assert set(PRESETS) == {
             "cifar10_resnet18", "imagenet_resnet50", "imagenet_resnext50",
             "imagenet_resnet101_bf16", "imagenet_resnet152_dp"}
+        # shipped execution recipe (PERF_NOTES rounds 3c/3d): every
+        # ImageNet preset runs bn-ema; R50 additionally ships the bs128
+        # batch optimum with linearly scaled lr (0.1-per-256 rule)
+        p2 = PRESETS["imagenet_resnet50"]()
+        assert p2.train.bn_ema
+        assert p2.train.batch_size == 128
+        assert p2.train.lr == pytest.approx(0.05)
+        p3 = PRESETS["imagenet_resnext50"]()
+        assert p3.train.bn_ema and p3.train.batch_size == 256
         p4 = PRESETS["imagenet_resnet101_bf16"]()
         assert p4.train.dtype == "bfloat16" and p4.train.warmup
+        assert p4.train.bn_ema
         p5 = PRESETS["imagenet_resnet152_dp"]()
         assert p5.model.depth == 152 and p5.train.remat
         assert p5.train.num_devices == 16
+        assert p5.train.bn_ema
 
     def test_preset_with_overrides(self):
         cfg = parse_config(["--preset", "cifar10_resnet18",

@@ -56,7 +56,13 @@ def digit_shards(tmp_path_factory):
     return str(root)
 
 
-def test_real_digits_converge(digit_shards):
+@pytest.mark.parametrize("bn_ema", [False, True],
+                         ids=["batchstats", "ema"])
+def test_real_digits_converge(digit_shards, bn_ema):
+    """Runs under BOTH BN programs: reference-exact batch-stats BN and
+    the shipped bn-ema mode (round 3c) — real-image evidence that the
+    frozen-variance + radial-projection dynamics hold beyond the
+    synthetic texture bars (warmup switch lands at step 50 of 200)."""
     from resnet_tpu.config import Config
     from resnet_tpu.data.loader import make_train_iter, make_val_iter
     from resnet_tpu.train.solver import Solver
@@ -82,6 +88,7 @@ def test_real_digits_converge(digit_shards):
     cfg.train.lr_steps = (5, 7)
     cfg.train.frequent = 10
     cfg.train.model_prefix = ""
+    cfg.train.bn_ema = bn_ema
 
     solver = Solver(cfg)
     state = solver.fit(make_train_iter(cfg), None)

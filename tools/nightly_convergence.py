@@ -23,6 +23,9 @@ def main(argv=None):
     p.add_argument("--epochs", type=int, default=10)
     p.add_argument("--bar", type=float, default=0.98)
     p.add_argument("--depth", type=int, default=18)
+    p.add_argument("--bn-ema", action="store_true",
+                   help="run the shipped bn-ema program (2-epoch "
+                        "batch-stats warmup + frozen-variance switch)")
     args = p.parse_args(argv)
 
     from resnet_tpu.config import cifar10_resnet18
@@ -38,6 +41,7 @@ def main(argv=None):
     cfg.train.lr_steps = (args.epochs // 2, 3 * args.epochs // 4)
     cfg.train.frequent = 20
     cfg.train.model_prefix = ""
+    cfg.train.bn_ema = args.bn_ema
 
     solver = Solver(cfg)
     train_iter = make_train_iter(cfg)

@@ -73,6 +73,11 @@ def main():
     p.add_argument("--warmup", type=int, default=3)
     p.add_argument("--batch-size", type=int, default=256)
     p.add_argument("--bn-subsample", type=int, default=8)
+    p.add_argument("--bn-ema", action="store_true",
+                   help="trace the bn-ema program (the shipped "
+                        "imagenet_resnet50 mode, PERF_NOTES round 3c); "
+                        "pair with --bn-subsample 1 for the shipped "
+                        "full-sweep EMA refresh")
     p.add_argument("--depth", type=int, default=50)
     p.add_argument("--logdir", default="/tmp/trace_probe")
     p.add_argument("--top", type=int, default=25)
@@ -93,6 +98,7 @@ def main():
         cfg.train.dtype = "bfloat16"
         cfg.train.batch_size = args.batch_size
         cfg.train.bn_subsample = args.bn_subsample
+        cfg.train.bn_ema = args.bn_ema
 
         from resnet_tpu.ops.augment_pallas import augment_imagenet_pallas
         aug = lambda im, r, d=None: augment_imagenet_pallas(
