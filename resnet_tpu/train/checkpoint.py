@@ -129,6 +129,17 @@ def load_checkpoint(model_prefix: str, epoch: int,
     return new_state, restored["iter_state"] or {}
 
 
+def has_epoch(model_prefix: str, epoch: int) -> bool:
+    """True if an orbax checkpoint for ``epoch`` exists under the prefix.
+
+    A plain directory probe (orbax lays out ``{prefix}/{epoch}/``) — no
+    collective, so callers can use it to CHOOSE a loader (orbax vs the
+    MXNet .params shim) before entering orbax's barriers.
+    """
+    return os.path.isdir(
+        os.path.join(os.path.abspath(model_prefix), str(epoch)))
+
+
 def latest_epoch(model_prefix: str) -> Optional[int]:
     path = os.path.abspath(model_prefix)
     if not os.path.isdir(path):

@@ -176,6 +176,36 @@ class Solver:
             if load_epoch is not None:
                 self.log.info("auto-resume found epoch %d", load_epoch)
         if load_epoch is not None:
+            import os
+            mx_params = f"{t.model_prefix}-{load_epoch:04d}.params"
+            if (not ckpt.has_epoch(t.model_prefix, load_epoch)
+                    and os.path.exists(mx_params)):
+                # the switch-from-the-reference path: --load-epoch points
+                # at an MXNet checkpoint (mx.model.save_checkpoint binary,
+                # utils/mxnet_params.py). Weights + BN stats restore;
+                # momentum restarts at zero — exactly the reference's own
+                # resume semantics (SURVEY.md §3.4 quirk: optimizer state
+                # is never checkpointed there).
+                import jax.numpy as jnp
+
+                from resnet_tpu.utils.export import load_mxnet_checkpoint
+                params, stats = load_mxnet_checkpoint(
+                    t.model_prefix, load_epoch, state.params,
+                    state.batch_stats)
+                # step drives the LR schedule: epochs * steps/epoch, like
+                # MXNet recovering lr from num_update ∝ begin_epoch
+                steps_per_epoch = max(
+                    1, self.cfg.data.num_examples // t.batch_size)
+                state = state.replace(
+                    params=jax.device_put(params),
+                    batch_stats=jax.device_put(stats),
+                    step=jnp.asarray(load_epoch * steps_per_epoch,
+                                     jnp.int32))
+                self.begin_epoch = load_epoch
+                self.log.info(
+                    "Resumed from MXNet checkpoint %s (epoch %d)",
+                    mx_params, load_epoch)
+                return state
             state, self.iter_state = ckpt.load_checkpoint(
                 t.model_prefix, load_epoch, state)
             self.begin_epoch = load_epoch
@@ -310,6 +340,11 @@ class Solver:
                 # re-enters the same phase
                 state = state.replace(apply_fn=self._bn_ema_warmup_apply)
                 self._bn_ema_pending = True
+            else:
+                # past the switch (resume landed in the ema phase): pin
+                # the canonical ema apply so the active program is the
+                # same OBJECT regardless of which path produced the state
+                state = state.replace(apply_fn=self._bn_ema_apply)
         from resnet_tpu.utils.profiler import maybe_trace
 
         # align ranks before the FIRST collective dispatch: per-rank setup

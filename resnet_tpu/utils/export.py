@@ -86,12 +86,36 @@ def import_mxnet_params(args: Dict[str, np.ndarray],
 
 
 def save_mxnet_style(path_prefix: str, epoch: int, params,
-                     batch_stats) -> str:
-    """Write ``{prefix}-{epoch:04d}.params.npz`` (arg:/aux:-prefixed keys,
-    mirroring the reference's single flat .params file)."""
+                     batch_stats, fmt: str = "npz") -> str:
+    """Write the reference's checkpoint layout.
+
+    ``fmt="params"``: a REAL ``{prefix}-{epoch:04d}.params`` in MXNet's
+    dmlc NDArray-list binary format (utils/mxnet_params.py) — loadable by
+    ``mx.nd.load``/``mx.model.load_checkpoint`` on the MXNet side.
+    ``fmt="npz"`` (default): the same flat arg:/aux: dict as a .npz shim.
+    """
     args, auxs = export_mxnet_params(params, batch_stats)
+    if fmt == "params":
+        from resnet_tpu.utils.mxnet_params import save_params
+        out = f"{path_prefix}-{epoch:04d}.params"
+        save_params(out, args, auxs)
+        return out
     flat = {f"arg:{k}": v for k, v in args.items()}
     flat.update({f"aux:{k}": v for k, v in auxs.items()})
     out = f"{path_prefix}-{epoch:04d}.params.npz"
     np.savez(out, **flat)
     return out
+
+
+def load_mxnet_checkpoint(path_prefix: str, epoch: int, params,
+                          batch_stats):
+    """Resume FROM a reference checkpoint: read
+    ``{prefix}-{epoch:04d}.params`` (the MXNet binary written by
+    ``mx.model.save_checkpoint`` — or by :func:`save_mxnet_style`
+    ``fmt="params"``) and fill our flax param/batch-stats templates.
+    The reference does not checkpoint optimizer state (SURVEY.md §3.4
+    quirk), so momentum restarts at zero exactly as an MXNet resume does.
+    """
+    from resnet_tpu.utils.mxnet_params import load_params
+    args, auxs = load_params(f"{path_prefix}-{epoch:04d}.params")
+    return import_mxnet_params(args, auxs, params, batch_stats)

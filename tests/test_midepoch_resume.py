@@ -90,6 +90,45 @@ class TestInProcessSigterm:
                         jax.tree.leaves(res_state.opt_state)):
             np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
 
+    @pytest.mark.parametrize("warmup", [10, 3],
+                             ids=["kill_in_warmup", "kill_after_switch"])
+    def test_bn_ema_program_switch_survives_resume(self, tmp_path, warmup):
+        """The shipped bn-ema mode is a host-side two-program schedule
+        (batch-stats warmup -> running-stats switch at step
+        ``bn_ema_warmup``); the active program is a pure function of
+        (config, state.step), so a kill/resume landing on EITHER side of
+        the switch must be bitwise-equal to an uninterrupted run."""
+
+        def cfg_ema(prefix):
+            cfg = _cfg(str(tmp_path / prefix))
+            cfg.train.bn_ema = True
+            cfg.train.bn_ema_warmup = warmup   # kill lands at batch 5
+            return cfg
+
+        images, labels = synthetic_cifar(256, 10, (16, 16, 3), seed=0)
+        ref_state = Solver(cfg_ema("ref")).fit(
+            MemoryIter(images, labels, 32, seed=0), None)
+
+        cfg = cfg_ema("killed")
+        solver = Solver(cfg)
+        it = _InterruptingIter(images, labels, 32, seed=0)
+        it.solver = solver
+        with pytest.raises(SystemExit):
+            solver.fit(it, None)
+
+        cfg2 = cfg_ema("killed")
+        cfg2.train.auto_resume = True
+        solver2 = Solver(cfg2)
+        res_state = solver2.fit(MemoryIter(images, labels, 32, seed=0), None)
+
+        # both runs ended in the ema program (16 steps > either warmup)
+        assert res_state.apply_fn is solver2._bn_ema_apply
+        assert int(res_state.step) == int(ref_state.step)
+        for tree in ("params", "batch_stats"):
+            for a, b in zip(jax.tree.leaves(getattr(ref_state, tree)),
+                            jax.tree.leaves(getattr(res_state, tree))):
+                np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+
     def test_checkpoint_frequent_saves_midepoch(self, tmp_path):
         cfg = _cfg(str(tmp_path / "freq"), num_epochs=1)
         cfg.train.checkpoint_frequent = 3
@@ -134,7 +173,16 @@ class TestSubprocessSigterm:
         if not wait_for_save:
             out, _ = p.communicate(timeout=600)
             return p.returncode, out
-        # poll the run log for the first mid-epoch save, then SIGTERM
+        # poll the run log for the first mid-epoch save, then SIGTERM.
+        # stdout must be DRAINED while polling: XLA warning floods (e.g.
+        # cpu_aot_loader machine-feature mismatches after a host
+        # migration) can exceed the 64KB pipe buffer and block the
+        # trainer mid-write before it ever reaches a save.
+        import threading
+        chunks = []
+        drain = threading.Thread(target=lambda: chunks.append(
+            p.stdout.read()), daemon=True)
+        drain.start()
         log = prefix + ".log"
         deadline = time.time() + 300
         saved = False
@@ -146,8 +194,9 @@ class TestSubprocessSigterm:
             time.sleep(0.2)
         assert saved, "no mid-epoch checkpoint before timeout/exit"
         p.send_signal(signal.SIGTERM)
-        out, _ = p.communicate(timeout=120)
-        return p.returncode, out
+        p.wait(timeout=120)
+        drain.join(timeout=30)
+        return p.returncode, "".join(chunks)
 
     def test_kill_resume_end_to_end(self, tmp_path):
         repo = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
