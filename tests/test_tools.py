@@ -89,3 +89,33 @@ def test_im2rec_list_round_trip(tmp_path):
     entries = [(0, 1.0, "a/b.jpg"), (1, 2.0, "c/d.jpg")]
     write_list(entries, str(tmp_path / "x.lst"))
     assert read_list(str(tmp_path / "x.lst")) == entries
+
+
+def test_predict_from_mxnet_params(trained, capsys):
+    """predict.py pointed at a REFERENCE-format checkpoint: export the
+    trained weights as the MXNet .params binary under a different prefix
+    (no orbax dir there) and classify through the shim — the
+    switch-from-the-reference user story end to end."""
+    sys.path.insert(0, os.path.join(os.path.dirname(__file__), "..",
+                                    "tools"))
+    import predict
+
+    from resnet_tpu.train import checkpoint as ckpt
+    from resnet_tpu.train.state import create_train_state
+    from resnet_tpu.utils.export import save_mxnet_style
+
+    cfg = trained["cfg"]
+    state = create_train_state(cfg)
+    state, _ = ckpt.load_checkpoint(cfg.train.model_prefix, 3, state)
+    mx_prefix = os.path.join(trained["root"], "mxck")
+    save_mxnet_style(mx_prefix, 3, state.params, state.batch_stats,
+                     fmt="params")
+
+    img = os.path.join(trained["root"], "class_2", "i0.jpg")
+    args = [a if a != cfg.train.model_prefix else mx_prefix
+            for a in _cfg_args(cfg)]
+    rc = predict.main(["--inputs", img, "--top-k", "2"] + args)
+    assert rc == 0
+    lines = [json.loads(l) for l in capsys.readouterr().out.splitlines()
+             if l.startswith("{")]
+    assert lines and lines[0]["top_k"][0]["class"] == 2

@@ -94,8 +94,20 @@ def main(argv=None):
         print("error: --load-epoch required", file=sys.stderr)
         return 2
     state = create_train_state(cfg)
-    state, _ = ckpt.load_checkpoint(cfg.train.model_prefix,
-                                    cfg.train.load_epoch, state)
+    mx_params = (f"{cfg.train.model_prefix}"
+                 f"-{cfg.train.load_epoch:04d}.params")
+    if (not ckpt.has_epoch(cfg.train.model_prefix, cfg.train.load_epoch)
+            and os.path.exists(mx_params)):
+        # reference-format checkpoint (mx.model.save_checkpoint binary):
+        # predict straight from it — utils/mxnet_params.py shim
+        from resnet_tpu.utils.export import load_mxnet_checkpoint
+        params, stats = load_mxnet_checkpoint(
+            cfg.train.model_prefix, cfg.train.load_epoch,
+            state.params, state.batch_stats)
+        state = state.replace(params=params, batch_stats=stats)
+    else:
+        state, _ = ckpt.load_checkpoint(cfg.train.model_prefix,
+                                        cfg.train.load_epoch, state)
     hw = cfg.data.image_shape[:2]
 
     @jax.jit
