@@ -43,6 +43,11 @@ def main():
     p.add_argument("--steps", type=int, default=30)
     p.add_argument("--warmup", type=int, default=5)
     p.add_argument("--dtype", default="bfloat16")
+    p.add_argument("--eval", dest="eval_mode", action="store_true",
+                   help="measure INFERENCE throughput (eval_step: "
+                        "running-stats BN forward + in-graph metrics on "
+                        "center-ready uint8 inputs) instead of the train "
+                        "loop — the serving/validation-scoring path")
     p.add_argument("--no-augment", action="store_true",
                    help="skip on-device augmentation (pure model step)")
     p.add_argument("--max-rotate-angle", type=float, default=0.0,
@@ -212,10 +217,23 @@ def main():
         from resnet_tpu.parallel.mesh import make_mesh
         mesh = make_mesh(len(jax.devices()))
     state = create_train_state(cfg)
-    step_fn = make_train_step(
-        mesh=mesh, dp_mode=args.dp_mode if mesh is not None else "jit",
-        augment_fn=aug_fn,
-        compiler_options=compiler_options(args.xla_opts))
+    if args.eval_mode:
+        # serving path: exact-size uint8 in, normalize fused into the
+        # forward program (the val iterator's center crop happens at
+        # decode; see data/loader.py val transform)
+        from resnet_tpu.train.steps import make_eval_step
+        aug_fn = None
+        pre = lambda im: augment.normalize(
+            im, cfg.data.mean_rgb, cfg.data.std_rgb, dtype)
+        ev_fn = make_eval_step(
+            mesh=mesh, dp_mode=args.dp_mode if mesh is not None else "jit",
+            preprocess_fn=pre)
+        step_fn = lambda st, b: (st, ev_fn(st, b))
+    else:
+        step_fn = make_train_step(
+            mesh=mesh, dp_mode=args.dp_mode if mesh is not None else "jit",
+            augment_fn=aug_fn,
+            compiler_options=compiler_options(args.xla_opts))
 
     h, w, c = cfg.data.image_shape
     if aug_fn is not None and not args.quick:
@@ -274,7 +292,8 @@ def main():
     # --dp-mode the step spans the whole mesh: divide by its size.
     per_chip = imgs_per_sec / (1 if mesh is None else len(jax.devices()))
     baseline = 3000.0  # BASELINE.md: img/s/chip target, v5e, ResNet-50 bf16
-    name = f"{cfg.model.network}{cfg.model.depth}_train_throughput"
+    kind = "eval" if args.eval_mode else "train"
+    name = f"{cfg.model.network}{cfg.model.depth}_{kind}_throughput"
     if args.quick:
         name += "_quick"
     if args.no_augment:

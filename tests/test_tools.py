@@ -119,3 +119,24 @@ def test_predict_from_mxnet_params(trained, capsys):
     lines = [json.loads(l) for l in capsys.readouterr().out.splitlines()
              if l.startswith("{")]
     assert lines and lines[0]["top_k"][0]["class"] == 2
+
+
+def test_export_mxnet_tool(trained, capsys):
+    """orbax checkpoint -> the reference's -symbol.json/.params pair."""
+    sys.path.insert(0, os.path.join(os.path.dirname(__file__), "..",
+                                    "tools"))
+    import export_mxnet
+
+    from resnet_tpu.utils.mxnet_params import load_params
+
+    cfg = trained["cfg"]
+    out = os.path.join(trained["root"], "exported", "model")
+    rc = export_mxnet.main(["--out", out] + _cfg_args(cfg))
+    assert rc == 0
+    assert os.path.exists(out + "-symbol.json")
+    args_d, auxs_d = load_params(out + "-0003.params")
+    assert "conv0_weight" in args_d and "bn0_moving_mean" in auxs_d
+    graph = json.load(open(out + "-symbol.json"))
+    null_names = {graph["nodes"][i]["name"] for i in graph["arg_nodes"]}
+    assert set(args_d) | set(auxs_d) | {"data", "softmax_label"} \
+        == null_names
