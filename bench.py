@@ -39,7 +39,9 @@ def main():
                    default="resnet")
     p.add_argument("--depth", type=int, default=50)
     p.add_argument("--batch-size", type=int, default=0,
-                   help="0 = auto (256 per chip)")
+                   help="0 = auto: the shipped preset's per-chip batch "
+                        "(128 for imagenet_resnet50 since round 3d — the "
+                        "measured MXU-lane optimum; 256 for resnext)")
     p.add_argument("--steps", type=int, default=30)
     p.add_argument("--warmup", type=int, default=5)
     p.add_argument("--dtype", default="bfloat16")
@@ -64,6 +66,11 @@ def main():
                         "rounds r1/r2 measured 224-canvas inputs)")
     p.add_argument("--host-data", action="store_true",
                    help="include per-step host->device transfer")
+    p.add_argument("--steps-per-dispatch", type=int, default=None,
+                   help="run K SGD steps per dispatched program (lax.scan "
+                        "over K stacked batches — the run-ahead analog of "
+                        "the reference's dependency engine); default: the "
+                        "shipped preset's choice")
     p.add_argument("--pool", type=int, default=4,
                    help="pre-staged device batch pool size")
     p.add_argument("--unit-chain", choices=["off", "xla", "pallas"],
@@ -186,6 +193,9 @@ def main():
         print(f"# --unit-chain {args.unit_chain}: forcing --no-bn-ema",
               file=sys.stderr)
         cfg.train.bn_ema = False
+    if args.steps_per_dispatch is not None:
+        cfg.train.steps_per_dispatch = args.steps_per_dispatch
+    spd = max(1, cfg.train.steps_per_dispatch)
     cfg.train.remat_policy = args.remat_policy
     cfg.data.max_rotate_angle = args.max_rotate_angle
     if args.quick:
@@ -194,8 +204,14 @@ def main():
         cfg.train.batch_size = 8
         if args.steps == 30:
             args.steps, args.warmup = 4, 2
-    else:
-        cfg.train.batch_size = args.batch_size or 256
+    elif args.batch_size:
+        cfg.train.batch_size = args.batch_size
+    elif args.depth != 50:
+        # the preset's batch is tuned for ITS depth (bs128 is the R50
+        # MXU-lane optimum); family rows stay on the bs256 convention
+        cfg.train.batch_size = 256
+    # else: keep the shipped preset's batch — the benchmark of record
+    # measures the trainer's defaults (bs128 for R50 since round 3d)
     bs = cfg.train.batch_size
 
     dtype = jnp.bfloat16 if args.dtype == "bfloat16" else jnp.float32
@@ -233,7 +249,8 @@ def main():
         step_fn = make_train_step(
             mesh=mesh, dp_mode=args.dp_mode if mesh is not None else "jit",
             augment_fn=aug_fn,
-            compiler_options=compiler_options(args.xla_opts))
+            compiler_options=compiler_options(args.xla_opts),
+            steps_per_dispatch=spd)
 
     h, w, c = cfg.data.image_shape
     if aug_fn is not None and not args.quick:
@@ -245,26 +262,35 @@ def main():
         ch, cw = canvas_size((h, w), override=args.canvas)
     else:
         ch, cw = h, w
+    if args.eval_mode:
+        spd = 1   # the serving path dispatches per request batch
+    lead = (spd, bs) if spd > 1 else (bs,)
     rng = np.random.default_rng(0)
     host_batches = [{
-        "image": rng.integers(0, 256, (bs, ch, cw, c), dtype=np.uint8),
-        "label": rng.integers(0, cfg.data.num_classes, (bs,),
+        "image": rng.integers(0, 256, lead + (ch, cw, c), dtype=np.uint8),
+        "label": rng.integers(0, cfg.data.num_classes, lead,
                               dtype=np.int32),
     } for _ in range(args.pool)]
     if (ch, cw) != (h, w):
         # full-canvas dims (orig == eff == canvas): the shipped program
         # shape — synthetic stand-in for shorter-side-256 pack letterboxes
         for b in host_batches:
-            b["dims"] = np.tile(
-                np.asarray([[ch, cw, ch, cw]], np.int32), (bs, 1))
+            b["dims"] = np.broadcast_to(
+                np.asarray([ch, cw, ch, cw], np.int32),
+                lead + (4,)).copy()
 
     def sync(metrics):
         # forced host readback — the only reliable sync on this backend
         return float(metrics["count"])
 
     if mesh is not None:
-        from resnet_tpu.parallel.mesh import shard_batch
-        put = lambda b: shard_batch(mesh, b)
+        if spd > 1:
+            from resnet_tpu.parallel.mesh import stacked_batch_sharded
+            sh = stacked_batch_sharded(mesh)
+            put = lambda b: jax.device_put(b, sh)
+        else:
+            from resnet_tpu.parallel.mesh import shard_batch
+            put = lambda b: shard_batch(mesh, b)
     else:
         put = jax.device_put
     if args.host_data:
@@ -286,7 +312,7 @@ def main():
     sync(metrics)
     elapsed = time.perf_counter() - tic
 
-    imgs_per_sec = args.steps * bs / elapsed
+    imgs_per_sec = args.steps * spd * bs / elapsed
     # default (mesh=None): single-device jit — the whole batch runs on ONE
     # chip regardless of how many the host exposes, so divide by 1. With
     # --dp-mode the step spans the whole mesh: divide by its size.
@@ -319,6 +345,8 @@ def main():
         name += f"_remat_{args.remat_policy}"
     if args.dp_mode != "none":
         name += f"_dp_{args.dp_mode}"
+    if spd > 1:
+        name += f"_spd{spd}"
     if args.host_data:
         name += "_hostdata"
     print(json.dumps({

@@ -176,6 +176,12 @@ class TrainConfig:
                                       # — 2.0 failed the bar at 0.67);
                                       # 0 disables clamping (the pinned
                                       # divergence counter-evidence)
+    steps_per_dispatch: int = 1       # run K SGD steps per dispatched XLA
+                                      # program (lax.scan over K stacked
+                                      # batches) — amortizes per-dispatch
+                                      # runtime overhead; the run-ahead
+                                      # analog of the reference's
+                                      # dependency engine (SURVEY §3.2)
     remat_policy: str = "none"        # "none"|"conv": selective remat — save
                                       # conv outs + BN stats, recompute the
                                       # elementwise chain in backward

@@ -42,6 +42,13 @@ def batch_sharded(mesh: Mesh) -> NamedSharding:
     return NamedSharding(mesh, P(DATA_AXIS))
 
 
+def stacked_batch_sharded(mesh: Mesh) -> NamedSharding:
+    """Sharding for K-stacked batches ``(k, batch, ...)`` (multi-step
+    dispatch, train.steps_per_dispatch): dim 0 is the scan axis, dim 1 is
+    the batch axis sharded across the data mesh."""
+    return NamedSharding(mesh, P(None, DATA_AXIS))
+
+
 def shard_batch(mesh: Mesh, batch):
     """Place a host batch pytree onto the mesh, sharded along dim 0.
 

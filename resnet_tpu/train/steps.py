@@ -31,7 +31,8 @@ import jax
 from jax.sharding import Mesh, PartitionSpec as P
 
 from resnet_tpu.ops.metrics import cross_entropy_loss, metric_sums
-from resnet_tpu.parallel.mesh import DATA_AXIS, batch_sharded, replicated
+from resnet_tpu.parallel.mesh import (DATA_AXIS, batch_sharded, replicated,
+                                      stacked_batch_sharded)
 from resnet_tpu.train.state import TrainState
 
 
@@ -95,10 +96,28 @@ def eval_step(state: TrainState, batch, axis_name: Optional[str] = None,
     return metrics
 
 
+def _scan_steps(step_fn: Callable, k: int) -> Callable:
+    """Run ``k`` train steps in ONE dispatched XLA program.
+
+    ``lax.scan`` over batches stacked on a leading ``k`` axis; the train
+    state is the carry (per-step randomness stays exact — each scanned step
+    folds its own ``state.step`` into the augmentation key), metric sums
+    accumulate across the k steps. This is the TPU analog of the
+    reference's dependency-engine run-ahead (SURVEY.md §3.2: the MXNet
+    Python loop queues batches ahead of the device): amortizes per-dispatch
+    host/runtime overhead over k device steps.
+    """
+    def multi(state, batches):
+        state, ms = jax.lax.scan(step_fn, state, batches, length=k)
+        return state, jax.tree.map(lambda x: x.sum(0), ms)
+    return multi
+
+
 def make_train_step(mesh: Optional[Mesh] = None, dp_mode: str = "jit",
                     label_smooth: float = 0.0,
                     augment_fn: Optional[Callable] = None,
-                    compiler_options: Optional[dict] = None) -> Callable:
+                    compiler_options: Optional[dict] = None,
+                    steps_per_dispatch: int = 1) -> Callable:
     """Compile the train step for the given mesh/mode.
 
     Returns ``f(state, batch) -> (state, metrics)`` with the state donated
@@ -106,17 +125,30 @@ def make_train_step(mesh: Optional[Mesh] = None, dp_mode: str = "jit",
     by XLA aliasing instead of engine var-sequencing).
     ``compiler_options`` are per-program XLA overrides (utils/xla_opts.py
     supplies the measured TPU defaults, e.g. the scoped-VMEM fusion budget).
+
+    ``steps_per_dispatch=k>1`` returns the multi-step program instead:
+    ``f(state, batches)`` where every batch leaf carries a leading ``k``
+    axis (k host batches stacked), runs k SGD steps per dispatch and
+    returns metric sums accumulated over them (see ``_scan_steps``).
     """
     co = compiler_options or None
+    k = steps_per_dispatch
+    if k < 1:
+        raise ValueError(f"steps_per_dispatch must be >= 1, got {k}")
     if mesh is None:
         fn = partial(train_step, label_smooth=label_smooth,
                      augment_fn=augment_fn)
+        if k > 1:
+            fn = _scan_steps(fn, k)
         return jax.jit(fn, donate_argnums=0, compiler_options=co)
 
     if dp_mode == "jit":
         fn = partial(train_step, label_smooth=label_smooth,
                      augment_fn=augment_fn)
-        repl, shard = replicated(mesh), batch_sharded(mesh)
+        repl = replicated(mesh)
+        shard = batch_sharded(mesh)
+        if k > 1:
+            fn, shard = _scan_steps(fn, k), stacked_batch_sharded(mesh)
         return jax.jit(fn, in_shardings=(repl, shard),
                        out_shardings=(repl, repl), donate_argnums=0,
                        compiler_options=co)
@@ -124,9 +156,14 @@ def make_train_step(mesh: Optional[Mesh] = None, dp_mode: str = "jit",
     if dp_mode == "shard_map":
         fn = partial(train_step, label_smooth=label_smooth,
                      axis_name=DATA_AXIS, augment_fn=augment_fn)
+        batch_spec = P(DATA_AXIS)
+        if k > 1:
+            # scan INSIDE the shard_map body: each replica scans its own
+            # k per-replica sub-batches (stacked on the leading axis)
+            fn, batch_spec = _scan_steps(fn, k), P(None, DATA_AXIS)
         smapped = jax.shard_map(
             fn, mesh=mesh,
-            in_specs=(P(), P(DATA_AXIS)),
+            in_specs=(P(), batch_spec),
             out_specs=(P(), P()),
             check_vma=False)
         return jax.jit(smapped, donate_argnums=0, compiler_options=co)

@@ -35,6 +35,7 @@ _INTEGRATION_FILES = {
     "test_launch_recovery.py",
     "test_golden_imagenet_path.py",
     "test_dist.py",
+    "test_multistep.py",
     "test_solver.py",
     "test_train.py",
     "test_graft_entry.py",
