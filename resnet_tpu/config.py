@@ -436,6 +436,11 @@ def build_parser() -> argparse.ArgumentParser:
                         "1.0 = live batch stats, stop-gradient variance — "
                         "the measured convergence-bar value; larger admits "
                         "running-stats lag; 0 = unclamped, diverges)")
+    p.add_argument("--steps-per-dispatch", type=int, default=None,
+                   help="run K SGD steps per dispatched XLA program "
+                        "(lax.scan over K stacked batches) — amortizes "
+                        "per-dispatch runtime overhead; the run-ahead "
+                        "analog of the reference's dependency engine")
     p.add_argument("--remat-policy", choices=["none", "conv"], default=None,
                    help="selective remat: save conv outputs + BN stats, "
                         "recompute normalize/relu in backward")
@@ -530,6 +535,8 @@ def config_from_args(args: argparse.Namespace) -> Config:
         t["bn_ema_project"] = args.bn_ema_project
     if args.bn_ema_warmup is not None: t["bn_ema_warmup"] = args.bn_ema_warmup
     if args.bn_ema_clamp is not None: t["bn_ema_clamp"] = args.bn_ema_clamp
+    if args.steps_per_dispatch is not None:
+        t["steps_per_dispatch"] = args.steps_per_dispatch
     if args.remat_policy is not None: t["remat_policy"] = args.remat_policy
     if args.xla_opts is not None: t["xla_opts"] = args.xla_opts
     if args.check_numerics: t["check_numerics"] = True

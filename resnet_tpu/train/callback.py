@@ -43,15 +43,22 @@ class Speedometer:
         self._init = False
         self._tic = 0.0
         self._last_count = 0
+        self._last_logged = 0
         self.last_speed: Optional[float] = None
 
     def __call__(self, param: BatchEndParam,
                  reset_fn: Optional[Callable] = None):
         count = param.nbatch
         if self._init and count > self._last_count:
-            if count % self.frequent == 0:
+            # crossing-based gate (not `count % frequent == 0`): under
+            # multi-step dispatch (train.steps_per_dispatch) nbatch
+            # advances K at a time and may never hit an exact multiple.
+            # The samples/sec numerator is the REAL batch delta since the
+            # last log, so the speed stays honest at any call stride.
+            if count // self.frequent > self._last_logged // self.frequent:
                 elapsed = time.perf_counter() - self._tic
-                speed = self.frequent * self.batch_size / max(elapsed, 1e-9)
+                speed = ((count - self._last_logged) * self.batch_size
+                         / max(elapsed, 1e-9))
                 self.last_speed = speed
                 metric_str = "\t".join(
                     f"{k}={v:.6f}" for k, v in param.metrics.items())
@@ -62,11 +69,17 @@ class Speedometer:
                 if self.auto_reset and reset_fn is not None:
                     reset_fn()
                 self._tic = time.perf_counter()
+                self._last_logged = count
         else:
             self._init = True
             self._tic = time.perf_counter()
+            # the init call lands AFTER the first batch/dispatch completed;
+            # treat that work as already counted so the first window's
+            # numerator matches its elapsed span
+            self._last_logged = count
         self._last_count = count
 
     def reset(self):
         self._init = False
         self._last_count = 0
+        self._last_logged = 0

@@ -17,7 +17,7 @@ import jax
 
 from resnet_tpu.config import Config
 from resnet_tpu.data.loader import DataIter
-from resnet_tpu.data.prefetch import prefetch_to_device
+from resnet_tpu.data.prefetch import prefetch_grouped, prefetch_to_device
 from resnet_tpu.ops import augment
 from resnet_tpu.ops.metrics import MetricAccumulator
 from resnet_tpu.parallel.mesh import make_mesh
@@ -136,9 +136,15 @@ class Solver:
         aug_fn, eval_fn = _augment_fns(cfg)
         from resnet_tpu.utils.xla_opts import compiler_options
         xla_opts = compiler_options(getattr(t, "xla_opts", None))
-        self.train_step = make_train_step(
+        # multi-step dispatch (steps._scan_steps): K SGD steps ride one
+        # dispatched XLA program. Epoch tails shorter than K run through a
+        # lazily-built single-step program (exact same per-step math).
+        self._spd = max(1, t.steps_per_dispatch)
+        self._mk_step = lambda k: make_train_step(
             self.mesh, t.dp_mode, t.label_smooth, augment_fn=aug_fn,
-            compiler_options=xla_opts)
+            compiler_options=xla_opts, steps_per_dispatch=k)
+        self.train_step = self._mk_step(self._spd)
+        self._single_step = self.train_step if self._spd == 1 else None
         self.eval_step = make_eval_step(
             self.mesh, t.dp_mode, preprocess_fn=eval_fn)
         self.schedule = schedule_from_config(cfg)
@@ -228,21 +234,42 @@ class Solver:
         self.speedometer.reset()
         window = []   # device-resident metric dicts; synced only at log time
         nbatch = start_nbatch   # nonzero on mid-epoch resume
-        for batch in prefetch_to_device(
+        if self._spd == 1:
+            source = ((b, 1) for b in prefetch_to_device(
                 train_iter.epoch_iter(epoch),
-                size=self.cfg.data.prefetch_buffer, mesh=self.mesh):
+                size=self.cfg.data.prefetch_buffer, mesh=self.mesh))
+        else:
+            # K host batches stack into one device batch per dispatch;
+            # grouping restarts at the epoch (and any resume) boundary, so
+            # log/checkpoint cadences below use boundary-CROSSING checks
+            # rather than exact multiples
+            source = prefetch_grouped(
+                train_iter.epoch_iter(epoch), self._spd,
+                size=self.cfg.data.prefetch_buffer, mesh=self.mesh)
+        for batch, n in source:
             if self._bn_ema_pending and self._host_step >= self._bn_ema_switch:
                 state = state.replace(apply_fn=self._bn_ema_apply)
                 self._bn_ema_pending = False
                 self.log.info(
                     "bn-ema: warmup done at step %d — switching to "
-                    "running-stats normalization", self._host_step)
-            state, metrics = self.train_step(state, batch)
-            self._host_step += 1
-            nbatch += 1
+                    "running-stats normalization%s", self._host_step,
+                    "" if self._host_step == self._bn_ema_switch else
+                    f" (configured step {self._bn_ema_switch} rounded to "
+                    f"the next {self._spd}-step dispatch boundary)")
+            if n == self._spd:
+                step_fn = self.train_step
+            else:
+                if self._single_step is None:   # epoch tail < K
+                    self._single_step = self._mk_step(1)
+                step_fn = self._single_step
+            state, metrics = step_fn(state, batch)
+            self._host_step += n
+            prev_nbatch = nbatch
+            nbatch += n
             window.append(metrics)
             if t.checkpoint_frequent and t.model_prefix \
-                    and nbatch % t.checkpoint_frequent == 0:
+                    and (nbatch // t.checkpoint_frequent
+                         > prev_nbatch // t.checkpoint_frequent):
                 self._save_mid_epoch(state, train_iter, epoch, nbatch)
             if self._sigterm:
                 # save the exact position (state + data cursor) and exit;
@@ -258,7 +285,7 @@ class Solver:
                     "SIGTERM: checkpointed epoch %d batch %d; exiting",
                     epoch, nbatch)
                 raise SystemExit(143)
-            if nbatch % t.frequent == 0:
+            if nbatch // t.frequent > prev_nbatch // t.frequent:
                 # the ONLY sync in the hot loop: pull `frequent` batches of
                 # scalar sums at once (MXNet syncs outputs per batch for
                 # metric.update — we are strictly lazier).

@@ -231,3 +231,53 @@ class TestSpeedometerFormat:
         lines = [r.getMessage() for r in caplog.records]
         assert any("Speed:" in ln and "samples/sec" in ln and
                    "Epoch[0]" in ln for ln in lines)
+
+
+class TestMultiStepDispatch:
+    """Solver path of train.steps_per_dispatch (K-step scanned program),
+    incl. the epoch tail (< K batches) running the single-step fallback."""
+
+    def _run(self, spd, tmpdir="", **train_kw):
+        cfg = tiny_cfg(tmpdir)
+        cfg.train.steps_per_dispatch = spd
+        for k, v in train_kw.items():
+            setattr(cfg.train, k, v)
+        solver = Solver(cfg)
+        images, labels = synthetic_cifar(256, 10, (16, 16, 3), seed=0)
+        it = MemoryIter(images, labels, 32, seed=0)
+        state = solver.init_state()
+        state = solver.train_epoch(state, it, 0)
+        return solver, state
+
+    def test_matches_single_dispatch_tiny_lr(self):
+        # 8 batches/epoch with spd=3 -> dispatches of 3+3 then a 2-batch
+        # single-step tail. Tiny lr linearizes the dynamics so the scanned
+        # trajectory matches sequential to ~reassociation noise (the same
+        # chaos argument as tests/test_multistep.py).
+        outs = {}
+        for spd in (1, 3):
+            _, state = self._run(spd, lr=1e-4)
+            outs[spd] = jax.device_get(
+                (state.params, state.batch_stats, state.opt_state))
+        for (p1, l1), (p2, l2) in zip(
+                jax.tree_util.tree_leaves_with_path(outs[1]),
+                jax.tree_util.tree_leaves_with_path(outs[3])):
+            assert p1 == p2
+            np.testing.assert_allclose(
+                np.asarray(l1), np.asarray(l2), rtol=1e-4, atol=1e-5,
+                err_msg=jax.tree_util.keystr(p1))
+
+    def test_learns_and_checkpoints_mid_epoch(self, tmp_path):
+        # checkpoint_frequent=4 with spd=3 crosses the boundary at
+        # nbatch 6 (crossing check, not exact multiple) — a mid-epoch
+        # save must land with the data cursor
+        solver, state = self._run(3, tmpdir=str(tmp_path),
+                                  checkpoint_frequent=4)
+        m1 = dict(solver.last_train_metrics)
+        assert ckpt.latest_epoch(solver.cfg.train.model_prefix) == 0
+        images, labels = synthetic_cifar(256, 10, (16, 16, 3), seed=0)
+        it = MemoryIter(images, labels, 32, seed=0)
+        for ep in (1, 2):
+            state = solver.train_epoch(state, it, ep)
+        assert solver.last_train_metrics["cross-entropy"] \
+            < m1["cross-entropy"]
