@@ -71,6 +71,16 @@ def main():
                         "over K stacked batches — the run-ahead analog of "
                         "the reference's dependency engine); default: the "
                         "shipped preset's choice")
+    p.add_argument("--spd-unroll", action=argparse.BooleanOptionalAction,
+                   default=None,
+                   help="with --steps-per-dispatch K: unroll the K-step "
+                        "scan so XLA schedules across step boundaries "
+                        "(default: the shipped preset's choice)")
+    p.add_argument("--stem-s2d", action=argparse.BooleanOptionalAction,
+                   default=None,
+                   help="space-to-depth stem conv lowering (exact 7x7/2 "
+                        "-> 4x4/1 reindex, 4x MXU lane occupancy on the "
+                        "C=3 stem; default: the shipped preset's choice)")
     p.add_argument("--pool", type=int, default=4,
                    help="pre-staged device batch pool size")
     p.add_argument("--unit-chain", choices=["off", "xla", "pallas"],
@@ -195,6 +205,10 @@ def main():
         cfg.train.bn_ema = False
     if args.steps_per_dispatch is not None:
         cfg.train.steps_per_dispatch = args.steps_per_dispatch
+    if args.spd_unroll is not None:
+        cfg.train.spd_unroll = args.spd_unroll
+    if args.stem_s2d is not None:
+        cfg.train.stem_s2d = args.stem_s2d
     spd = max(1, cfg.train.steps_per_dispatch)
     cfg.train.remat_policy = args.remat_policy
     cfg.data.max_rotate_angle = args.max_rotate_angle
@@ -250,7 +264,7 @@ def main():
             mesh=mesh, dp_mode=args.dp_mode if mesh is not None else "jit",
             augment_fn=aug_fn,
             compiler_options=compiler_options(args.xla_opts),
-            steps_per_dispatch=spd)
+            steps_per_dispatch=spd, spd_unroll=cfg.train.spd_unroll)
 
     h, w, c = cfg.data.image_shape
     if aug_fn is not None and not args.quick:
@@ -347,6 +361,10 @@ def main():
         name += f"_dp_{args.dp_mode}"
     if spd > 1:
         name += f"_spd{spd}"
+        if cfg.train.spd_unroll:
+            name += "u"
+    if cfg.train.stem_s2d:
+        name += "_s2d"
     if args.host_data:
         name += "_hostdata"
     print(json.dumps({

@@ -182,6 +182,17 @@ class TrainConfig:
                                       # runtime overhead; the run-ahead
                                       # analog of the reference's
                                       # dependency engine (SURVEY §3.2)
+    spd_unroll: bool = False          # with steps_per_dispatch K: unroll
+                                      # the K-step scan (duplicated step
+                                      # body; lets XLA schedule across
+                                      # step boundaries at K-fold compile
+                                      # cost)
+    stem_s2d: bool = False            # ImageNet 7x7/2 stem conv lowered
+                                      # in space-to-depth form (4x4/1 conv
+                                      # on (H/2,W/2,12) input — exact
+                                      # reindexing, 4x MXU lane occupancy
+                                      # on the C=3 stem; param tree
+                                      # unchanged, models/_StemConvS2D)
     remat_policy: str = "none"        # "none"|"conv": selective remat — save
                                       # conv outs + BN stats, recompute the
                                       # elementwise chain in backward
@@ -441,6 +452,17 @@ def build_parser() -> argparse.ArgumentParser:
                         "(lax.scan over K stacked batches) — amortizes "
                         "per-dispatch runtime overhead; the run-ahead "
                         "analog of the reference's dependency engine")
+    p.add_argument("--spd-unroll", action=argparse.BooleanOptionalAction,
+                   default=None,
+                   help="with --steps-per-dispatch K: unroll the K-step "
+                        "scan (XLA schedules across step boundaries; "
+                        "K-fold compile cost)")
+    p.add_argument("--stem-s2d", action=argparse.BooleanOptionalAction,
+                   default=None,
+                   help="lower the ImageNet 7x7/2 stem conv in "
+                        "space-to-depth form (exact reindex to a 4x4/1 "
+                        "conv on 12 channels — 4x MXU lane occupancy; "
+                        "param tree unchanged)")
     p.add_argument("--remat-policy", choices=["none", "conv"], default=None,
                    help="selective remat: save conv outputs + BN stats, "
                         "recompute normalize/relu in backward")
@@ -537,6 +559,8 @@ def config_from_args(args: argparse.Namespace) -> Config:
     if args.bn_ema_clamp is not None: t["bn_ema_clamp"] = args.bn_ema_clamp
     if args.steps_per_dispatch is not None:
         t["steps_per_dispatch"] = args.steps_per_dispatch
+    if args.spd_unroll is not None: t["spd_unroll"] = args.spd_unroll
+    if args.stem_s2d is not None: t["stem_s2d"] = args.stem_s2d
     if args.remat_policy is not None: t["remat_policy"] = args.remat_policy
     if args.xla_opts is not None: t["xla_opts"] = args.xla_opts
     if args.check_numerics: t["check_numerics"] = True

@@ -70,6 +70,7 @@ def get_model(cfg: Config, dtype: Any = None, remat: bool = None,
         bn_ema = getattr(cfg.train, "bn_ema", False)
     bn_ema_clamp = getattr(cfg.train, "bn_ema_clamp", 1.0)
     remat_policy = getattr(cfg.train, "remat_policy", "none")
+    stem_s2d = getattr(cfg.train, "stem_s2d", False)
     if bn_grouped and bn_subsample <= 1:
         raise ValueError(
             "--bn-grouped needs --bn-subsample > 1 (the number of "
@@ -121,5 +122,6 @@ def get_model(cfg: Config, dtype: Any = None, remat: bool = None,
         bn_stat_stride=bn_stat_stride,
         bn_ema=bn_ema,
         bn_ema_clamp=bn_ema_clamp,
+        stem_s2d=stem_s2d,
         pallas_interpret=pallas_interpret,
     )

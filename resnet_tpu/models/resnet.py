@@ -93,6 +93,46 @@ class _Conv1x1Dot(nn.Module):
         return y.reshape(n, h, w, self.features)
 
 
+class _StemConvS2D(nn.Module):
+    """7x7/2 stem conv lowered in space-to-depth form (exact reindexing).
+
+    The ImageNet stem (7x7 stride-2 conv on a 3-channel input,
+    ref:symbol/resnet.py conv0) is the one conv in the family that is
+    MXU-hostile by shape: 3 input channels fill 3 of 128 MXU lanes and
+    the stride-2 patch walk defeats input reuse. Re-indexing input and
+    kernel into 2x2 space-to-depth blocks turns the SAME contraction
+    into a 4x4 stride-1 conv over an (H/2, W/2, 4C) input — 4x the lane
+    occupancy and a dense walk (the standard TPU lowering of the ResNet
+    stem, e.g. the public MLPerf TPU submissions). Execution switch
+    only: the parameter stays the reference-shaped (7,7,C,F) kernel
+    (checkpoints/export interchange), transformed in-graph — zero-pad to
+    8x8 at the leading edge (row -1 = the out-of-image tap stride 2
+    never uses on the left), regroup into 2x2 blocks — with the exact
+    transpose as its VJP. Index map: original tap di = 2*b + p - 1 for
+    block offset b and within-block phase p, so original padding 3
+    becomes block padding (2, 1). Numerically identical to nn.Conv up
+    to float reassociation (f64 oracle: tests/test_stem_s2d.py).
+    """
+
+    features: int
+    dtype: Any = jnp.float32
+
+    @nn.compact
+    def __call__(self, x):
+        n, h, w, c = x.shape
+        kernel = self.param("kernel", conv_init, (7, 7, c, self.features))
+        k = jnp.pad(kernel, ((1, 0), (1, 0), (0, 0), (0, 0)))
+        k = (k.reshape(4, 2, 4, 2, c, self.features)
+              .transpose(0, 2, 1, 3, 4, 5)
+              .reshape(4, 4, 4 * c, self.features))
+        x = (x.reshape(n, h // 2, 2, w // 2, 2, c)
+              .transpose(0, 1, 3, 2, 4, 5)
+              .reshape(n, h // 2, w // 2, 4 * c))
+        return jax.lax.conv_general_dilated(
+            x.astype(self.dtype), k.astype(self.dtype), (1, 1),
+            ((2, 1), (2, 1)), dimension_numbers=("NHWC", "HWIO", "NHWC"))
+
+
 class _GroupedConvDense(nn.Module):
     """Grouped conv lowered with ``merge`` groups fused per dense block.
 
@@ -596,6 +636,8 @@ class ResNet(nn.Module):
     bn_stat_stride: int = 1       # BN stats from every s-th spatial row/col
     bn_ema: bool = False          # normalize with running stats (stop-grad)
     bn_ema_clamp: float = 1.0     # trust region vs live batch evidence
+    stem_s2d: bool = False        # 7x7/2 stem as a space-to-depth 4x4/1
+                                  # conv (exact reindex; _StemConvS2D)
     pallas_interpret: bool = False
     conv1x1_as_dot: bool = False  # lower 1x1 convs as reshaped matmuls
 
@@ -621,8 +663,12 @@ class ResNet(nn.Module):
             if self.version == 1:
                 x = nn.relu(bn("bn0")(x, use_running_average=ra))
         else:
-            x = conv(self.filters[0], (7, 7), (2, 2),
-                     padding=((3, 3), (3, 3)), name="conv0")(x)
+            if self.stem_s2d and x.shape[1] % 2 == 0 and x.shape[2] % 2 == 0:
+                x = _StemConvS2D(self.filters[0], dtype=self.dtype,
+                                 name="conv0")(x)
+            else:
+                x = conv(self.filters[0], (7, 7), (2, 2),
+                         padding=((3, 3), (3, 3)), name="conv0")(x)
             x = nn.relu(bn("bn0")(x, use_running_average=ra))
             x = nn.max_pool(x, (3, 3), strides=(2, 2),
                             padding=((1, 1), (1, 1)))

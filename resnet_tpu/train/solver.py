@@ -142,7 +142,8 @@ class Solver:
         self._spd = max(1, t.steps_per_dispatch)
         self._mk_step = lambda k: make_train_step(
             self.mesh, t.dp_mode, t.label_smooth, augment_fn=aug_fn,
-            compiler_options=xla_opts, steps_per_dispatch=k)
+            compiler_options=xla_opts, steps_per_dispatch=k,
+            spd_unroll=t.spd_unroll)
         self.train_step = self._mk_step(self._spd)
         self._single_step = self.train_step if self._spd == 1 else None
         self.eval_step = make_eval_step(

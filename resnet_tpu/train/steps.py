@@ -96,7 +96,7 @@ def eval_step(state: TrainState, batch, axis_name: Optional[str] = None,
     return metrics
 
 
-def _scan_steps(step_fn: Callable, k: int) -> Callable:
+def _scan_steps(step_fn: Callable, k: int, unroll: bool = False) -> Callable:
     """Run ``k`` train steps in ONE dispatched XLA program.
 
     ``lax.scan`` over batches stacked on a leading ``k`` axis; the train
@@ -105,10 +105,13 @@ def _scan_steps(step_fn: Callable, k: int) -> Callable:
     accumulate across the k steps. This is the TPU analog of the
     reference's dependency-engine run-ahead (SURVEY.md §3.2: the MXNet
     Python loop queues batches ahead of the device): amortizes per-dispatch
-    host/runtime overhead over k device steps.
+    host/runtime overhead over k device steps. ``unroll`` duplicates the
+    step body k-fold so XLA can schedule across step boundaries (k-fold
+    compile cost; same math).
     """
     def multi(state, batches):
-        state, ms = jax.lax.scan(step_fn, state, batches, length=k)
+        state, ms = jax.lax.scan(step_fn, state, batches, length=k,
+                                 unroll=k if unroll else 1)
         return state, jax.tree.map(lambda x: x.sum(0), ms)
     return multi
 
@@ -117,7 +120,8 @@ def make_train_step(mesh: Optional[Mesh] = None, dp_mode: str = "jit",
                     label_smooth: float = 0.0,
                     augment_fn: Optional[Callable] = None,
                     compiler_options: Optional[dict] = None,
-                    steps_per_dispatch: int = 1) -> Callable:
+                    steps_per_dispatch: int = 1,
+                    spd_unroll: bool = False) -> Callable:
     """Compile the train step for the given mesh/mode.
 
     Returns ``f(state, batch) -> (state, metrics)`` with the state donated
@@ -139,7 +143,7 @@ def make_train_step(mesh: Optional[Mesh] = None, dp_mode: str = "jit",
         fn = partial(train_step, label_smooth=label_smooth,
                      augment_fn=augment_fn)
         if k > 1:
-            fn = _scan_steps(fn, k)
+            fn = _scan_steps(fn, k, spd_unroll)
         return jax.jit(fn, donate_argnums=0, compiler_options=co)
 
     if dp_mode == "jit":
@@ -148,7 +152,7 @@ def make_train_step(mesh: Optional[Mesh] = None, dp_mode: str = "jit",
         repl = replicated(mesh)
         shard = batch_sharded(mesh)
         if k > 1:
-            fn, shard = _scan_steps(fn, k), stacked_batch_sharded(mesh)
+            fn, shard = _scan_steps(fn, k, spd_unroll), stacked_batch_sharded(mesh)
         return jax.jit(fn, in_shardings=(repl, shard),
                        out_shardings=(repl, repl), donate_argnums=0,
                        compiler_options=co)
@@ -160,7 +164,7 @@ def make_train_step(mesh: Optional[Mesh] = None, dp_mode: str = "jit",
         if k > 1:
             # scan INSIDE the shard_map body: each replica scans its own
             # k per-replica sub-batches (stacked on the leading axis)
-            fn, batch_spec = _scan_steps(fn, k), P(None, DATA_AXIS)
+            fn, batch_spec = _scan_steps(fn, k, spd_unroll), P(None, DATA_AXIS)
         smapped = jax.shard_map(
             fn, mesh=mesh,
             in_specs=(P(), batch_spec),
