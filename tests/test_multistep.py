@@ -157,6 +157,26 @@ class TestScanMatchesSequential:
         # radial-projection optimizer) must scan identically too
         self._assert_equal(*self._run_pair(_cfg(lr=TINY_LR, bn_ema=True)))
 
+    def test_spd_unroll_matches_looped_scan(self):
+        # the unrolled scan duplicates the step body so XLA can schedule
+        # across step boundaries — same math as the looped scan
+        cfg = _cfg(lr=TINY_LR)
+        aug = _aug_fn(cfg)
+        stacked = _stack(_batches(cfg))
+        state_l = create_train_state(cfg)
+        looped = make_train_step(mesh=None, augment_fn=aug,
+                                 steps_per_dispatch=K)
+        state_l, ml = looped(state_l, jax.device_put(stacked))
+        state_u = create_train_state(cfg)
+        unrolled = make_train_step(mesh=None, augment_fn=aug,
+                                   steps_per_dispatch=K, spd_unroll=True)
+        state_u, mu = unrolled(state_u, jax.device_put(stacked))
+        ml, mu = jax.device_get((ml, mu))
+        for key in ml:
+            np.testing.assert_allclose(mu[key], ml[key], rtol=1e-4,
+                                       err_msg=key)
+        _leafwise(_full(state_l), _full(state_u), rtol=1e-4, atol=1e-5)
+
 
 class TestScanSharded:
     def test_dp_jit_matches_single_device(self):

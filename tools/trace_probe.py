@@ -78,6 +78,8 @@ def main():
                         "imagenet_resnet50 mode, PERF_NOTES round 3c); "
                         "pair with --bn-subsample 1 for the shipped "
                         "full-sweep EMA refresh")
+    p.add_argument("--stem-s2d", action="store_true",
+                   help="trace the space-to-depth stem lowering")
     p.add_argument("--depth", type=int, default=50)
     p.add_argument("--logdir", default="/tmp/trace_probe")
     p.add_argument("--top", type=int, default=25)
@@ -99,6 +101,7 @@ def main():
         cfg.train.batch_size = args.batch_size
         cfg.train.bn_subsample = args.bn_subsample
         cfg.train.bn_ema = args.bn_ema
+        cfg.train.stem_s2d = args.stem_s2d
 
         from resnet_tpu.ops.augment_pallas import augment_imagenet_pallas
         aug = lambda im, r, d=None: augment_imagenet_pallas(
