@@ -81,6 +81,11 @@ def main():
                    help="space-to-depth stem conv lowering (exact 7x7/2 "
                         "-> 4x4/1 reindex, 4x MXU lane occupancy on the "
                         "C=3 stem; default: the shipped preset's choice)")
+    p.add_argument("--pool-grad", choices=["sas", "mask"], default=None,
+                   help="stem maxpool backward: 'sas' = canonical "
+                        "select_and_scatter, 'mask' = parallel "
+                        "tie-splitting VJP (ops/pool.py; default: the "
+                        "shipped preset's choice)")
     p.add_argument("--pool", type=int, default=4,
                    help="pre-staged device batch pool size")
     p.add_argument("--unit-chain", choices=["off", "xla", "pallas"],
@@ -209,6 +214,8 @@ def main():
         cfg.train.spd_unroll = args.spd_unroll
     if args.stem_s2d is not None:
         cfg.train.stem_s2d = args.stem_s2d
+    if args.pool_grad is not None:
+        cfg.train.pool_grad = args.pool_grad
     spd = max(1, cfg.train.steps_per_dispatch)
     cfg.train.remat_policy = args.remat_policy
     cfg.data.max_rotate_angle = args.max_rotate_angle
@@ -365,6 +372,8 @@ def main():
             name += "u"
     if cfg.train.stem_s2d:
         name += "_s2d"
+    if cfg.train.pool_grad != "sas":
+        name += f"_pg{cfg.train.pool_grad}"
     if args.host_data:
         name += "_hostdata"
     print(json.dumps({

@@ -193,6 +193,11 @@ class TrainConfig:
                                       # reindexing, 4x MXU lane occupancy
                                       # on the C=3 stem; param tree
                                       # unchanged, models/_StemConvS2D)
+    pool_grad: str = "sas"            # stem maxpool backward: "sas" =
+                                      # canonical select_and_scatter
+                                      # (reference-exact argmax routing);
+                                      # "mask" = parallel tie-splitting
+                                      # VJP (ops/pool.py)
     remat_policy: str = "none"        # "none"|"conv": selective remat — save
                                       # conv outs + BN stats, recompute the
                                       # elementwise chain in backward
@@ -255,10 +260,26 @@ def imagenet_resnet50() -> Config:
     0.1-per-256 linear-scaling rule every preset here uses (the 1024-
     and 4096-batch presets scale the same way); under N-way DP the
     global batch is 128N — enable --warmup at pod scale exactly as the
-    large-batch presets do."""
+    large-batch presets do.
+
+    Execution schedule (round 3f/3g batteries, BATTERY_r3{f,g,h}.jsonl):
+    4 SGD steps per dispatched program with the scan UNROLLED (XLA
+    schedules across step boundaries — the tail reduces of step i
+    overlap the head convs of step i+1) and the space-to-depth stem
+    lowering. Measured 2978-2984 img/s/chip vs 2871 at spd=1 (+3.9%);
+    K=4 is the knee (K=8 ties it at double the compile cost), and the
+    bs128 optimum holds under unroll (bs256: 2762). Both knobs are
+    math-preserving: the K-step scan runs the identical update
+    (tests/test_multistep.py pins scan ≡ sequential, unrolled ≡ looped,
+    sharded ≡ single-device) and the s2d stem is an exact reindex of
+    the same 7x7 kernel (f64 oracle, tests/test_stem_s2d.py; param tree
+    unchanged, so checkpoints/export interchange) — the bn-ema
+    convergence evidence carries over unchanged."""
     cfg = Config()
     cfg.train = dataclasses.replace(cfg.train, bn_ema=True,
-                                    batch_size=128, lr=0.05)
+                                    batch_size=128, lr=0.05,
+                                    steps_per_dispatch=4, spd_unroll=True,
+                                    stem_s2d=True)
     return cfg
 
 
@@ -463,6 +484,11 @@ def build_parser() -> argparse.ArgumentParser:
                         "space-to-depth form (exact reindex to a 4x4/1 "
                         "conv on 12 channels — 4x MXU lane occupancy; "
                         "param tree unchanged)")
+    p.add_argument("--pool-grad", choices=["sas", "mask"], default=None,
+                   help="stem maxpool backward: 'sas' = canonical "
+                        "select_and_scatter (reference-exact argmax "
+                        "routing), 'mask' = parallel tie-splitting VJP "
+                        "(ops/pool.py)")
     p.add_argument("--remat-policy", choices=["none", "conv"], default=None,
                    help="selective remat: save conv outputs + BN stats, "
                         "recompute normalize/relu in backward")
@@ -561,6 +587,7 @@ def config_from_args(args: argparse.Namespace) -> Config:
         t["steps_per_dispatch"] = args.steps_per_dispatch
     if args.spd_unroll is not None: t["spd_unroll"] = args.spd_unroll
     if args.stem_s2d is not None: t["stem_s2d"] = args.stem_s2d
+    if args.pool_grad is not None: t["pool_grad"] = args.pool_grad
     if args.remat_policy is not None: t["remat_policy"] = args.remat_policy
     if args.xla_opts is not None: t["xla_opts"] = args.xla_opts
     if args.check_numerics: t["check_numerics"] = True

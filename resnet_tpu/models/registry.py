@@ -71,6 +71,7 @@ def get_model(cfg: Config, dtype: Any = None, remat: bool = None,
     bn_ema_clamp = getattr(cfg.train, "bn_ema_clamp", 1.0)
     remat_policy = getattr(cfg.train, "remat_policy", "none")
     stem_s2d = getattr(cfg.train, "stem_s2d", False)
+    pool_grad = getattr(cfg.train, "pool_grad", "sas")
     if bn_grouped and bn_subsample <= 1:
         raise ValueError(
             "--bn-grouped needs --bn-subsample > 1 (the number of "
@@ -123,5 +124,6 @@ def get_model(cfg: Config, dtype: Any = None, remat: bool = None,
         bn_ema=bn_ema,
         bn_ema_clamp=bn_ema_clamp,
         stem_s2d=stem_s2d,
+        pool_grad=pool_grad,
         pallas_interpret=pallas_interpret,
     )

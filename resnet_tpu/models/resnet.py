@@ -638,6 +638,8 @@ class ResNet(nn.Module):
     bn_ema_clamp: float = 1.0     # trust region vs live batch evidence
     stem_s2d: bool = False        # 7x7/2 stem as a space-to-depth 4x4/1
                                   # conv (exact reindex; _StemConvS2D)
+    pool_grad: str = "sas"        # stem maxpool backward: "sas" | "mask"
+                                  # (ops/pool.py tie-splitting VJP)
     pallas_interpret: bool = False
     conv1x1_as_dot: bool = False  # lower 1x1 convs as reshaped matmuls
 
@@ -670,8 +672,8 @@ class ResNet(nn.Module):
                 x = conv(self.filters[0], (7, 7), (2, 2),
                          padding=((3, 3), (3, 3)), name="conv0")(x)
             x = nn.relu(bn("bn0")(x, use_running_average=ra))
-            x = nn.max_pool(x, (3, 3), strides=(2, 2),
-                            padding=((1, 1), (1, 1)))
+            from resnet_tpu.ops.pool import stem_max_pool
+            x = stem_max_pool(x, self.pool_grad)
 
         unit_cls = ResidualUnit
         tag_remat = self.remat_policy == "conv" and not self.remat

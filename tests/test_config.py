@@ -52,6 +52,10 @@ class TestCLI:
         assert p2.train.bn_ema
         assert p2.train.batch_size == 128
         assert p2.train.lr == pytest.approx(0.05)
+        # round 3f/3g execution schedule: unrolled 4-step dispatch +
+        # space-to-depth stem (both math-preserving; PERF_NOTES.md)
+        assert p2.train.steps_per_dispatch == 4 and p2.train.spd_unroll
+        assert p2.train.stem_s2d
         p3 = PRESETS["imagenet_resnext50"]()
         assert p3.train.bn_ema and p3.train.batch_size == 256
         p4 = PRESETS["imagenet_resnet101_bf16"]()
