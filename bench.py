@@ -44,7 +44,10 @@ def main():
                         "measured MXU-lane optimum; 256 for resnext)")
     p.add_argument("--steps", type=int, default=30)
     p.add_argument("--warmup", type=int, default=5)
-    p.add_argument("--dtype", default="bfloat16")
+    p.add_argument("--dtype", default=None,
+                   choices=["float32", "bfloat16"],
+                   help="default: the shipped preset's dtype (bfloat16 — "
+                        "the north-star dtype; BASELINE.md)")
     p.add_argument("--eval", dest="eval_mode", action="store_true",
                    help="measure INFERENCE throughput (eval_step: "
                         "running-stats BN forward + in-graph metrics on "
@@ -167,7 +170,8 @@ def main():
            else imagenet_resnet50())
     cfg.model.network = args.network
     cfg.model.depth = args.depth
-    cfg.train.dtype = args.dtype
+    if args.dtype is not None:
+        cfg.train.dtype = args.dtype
     cfg.train.unit_chain = args.unit_chain
     if args.grouped_dense is not None:
         cfg.train.grouped_dense = args.grouped_dense
@@ -235,7 +239,7 @@ def main():
     # measures the trainer's defaults (bs128 for R50 since round 3d)
     bs = cfg.train.batch_size
 
-    dtype = jnp.bfloat16 if args.dtype == "bfloat16" else jnp.float32
+    dtype = jnp.bfloat16 if cfg.train.dtype == "bfloat16" else jnp.float32
     aug_fn = None
     if not args.no_augment:
         if jax.default_backend() == "tpu":

@@ -274,12 +274,17 @@ def imagenet_resnet50() -> Config:
     sharded ≡ single-device) and the s2d stem is an exact reindex of
     the same 7x7 kernel (f64 oracle, tests/test_stem_s2d.py; param tree
     unchanged, so checkpoints/export interchange) — the bn-ema
-    convergence evidence carries over unchanged."""
+    convergence evidence carries over unchanged.
+
+    dtype ships ``bfloat16`` (fp32 params/BN stats/head — the north-star
+    dtype, and what every tuning row above was measured under);
+    ``--dtype float32`` restores full-f32 compute for reference-exact
+    numerics."""
     cfg = Config()
     cfg.train = dataclasses.replace(cfg.train, bn_ema=True,
                                     batch_size=128, lr=0.05,
                                     steps_per_dispatch=4, spd_unroll=True,
-                                    stem_s2d=True)
+                                    stem_s2d=True, dtype="bfloat16")
     return cfg
 
 
@@ -297,7 +302,8 @@ def imagenet_resnext50() -> Config:
     cfg = Config()
     cfg.model = dataclasses.replace(cfg.model, network="resnext", depth=50)
     cfg.train = dataclasses.replace(cfg.train, grouped_dense=True,
-                                    grouped_merge=2, bn_ema=True)
+                                    grouped_merge=2, bn_ema=True,
+                                    dtype="bfloat16")
     return cfg
 
 
