@@ -242,7 +242,11 @@ def main():
     dtype = jnp.bfloat16 if cfg.train.dtype == "bfloat16" else jnp.float32
     aug_fn = None
     if not args.no_augment:
-        if jax.default_backend() == "tpu":
+        # Mosaic (Pallas) kernels cannot be GSPMD-auto-partitioned: under
+        # --dp-mode jit on a >1-device mesh use the bit-identical XLA
+        # lowering (train/solver.py _augment_fns has the same rule)
+        multi_jit = args.dp_mode == "jit" and len(jax.devices()) > 1
+        if jax.default_backend() == "tpu" and not multi_jit:
             from resnet_tpu.ops.augment_pallas import augment_imagenet_pallas
             aug_fn = lambda imgs, rng, dims=None: augment_imagenet_pallas(
                 imgs, rng, cfg.data, cfg.data.image_shape[:2], dtype,

@@ -396,6 +396,12 @@ def build_parser() -> argparse.ArgumentParser:
                         "pipeline decode stage, the reference placement; "
                         "device: in-graph gather — 11x step cost, "
                         "PERF_NOTES.md)")
+    p.add_argument("--augment-impl", choices=["auto", "pallas", "xla"],
+                   default=None,
+                   help="on-device augmentation lowering (auto: Pallas on "
+                        "TPU except under multi-device GSPMD jit, where "
+                        "Mosaic kernels cannot be partitioned and the "
+                        "bit-identical XLA path runs instead)")
     # train
     p.add_argument("--batch-size", type=int, default=None, help="global batch")
     p.add_argument("--lr", type=float, default=None)
@@ -557,6 +563,8 @@ def config_from_args(args: argparse.Namespace) -> Config:
         d["max_shear_ratio"] = args.max_shear_ratio
     if args.rotate_backend is not None:
         d["rotate_backend"] = args.rotate_backend
+    if args.augment_impl is not None:
+        d["augment_impl"] = args.augment_impl
     if args.batch_size is not None: t["batch_size"] = args.batch_size
     if args.lr is not None: t["lr"] = args.lr
     if args.lr_steps is not None: t["lr_steps"] = _parse_tuple(args.lr_steps)

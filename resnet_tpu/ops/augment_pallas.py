@@ -146,6 +146,12 @@ def augment_imagenet_pallas(canvas_u8: jnp.ndarray, rng, cfg: DataConfig,
     """Drop-in replacement for ops.augment.augment_imagenet (same RNG
     stream, same semantics, same box sampler) with the fused Pallas kernel.
 
+    GSPMD caveat: Mosaic kernels cannot be automatically partitioned, so
+    this path must NOT be placed under a >1-device ``jit`` mesh (the AOT
+    pod audit reproduces the compile error); it works single-device and
+    inside ``shard_map`` bodies. train/solver.py's ``auto`` selection and
+    bench.py both route multi-device GSPMD to the bit-identical XLA path.
+
     HSL jitter, when enabled, is applied by the XLA path on the cropped
     output (it is elementwise and XLA fuses it into the following cast).
     """

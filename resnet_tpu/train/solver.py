@@ -29,8 +29,18 @@ from resnet_tpu.train.steps import make_eval_step, make_train_step
 from resnet_tpu.utils.logging import setup_logging
 
 
-def _augment_fns(cfg: Config):
-    """Select the on-device train/eval preprocessing for the dataset."""
+def _augment_fns(cfg: Config, multi_device_jit: bool = False):
+    """Select the on-device train/eval preprocessing for the dataset.
+
+    ``multi_device_jit``: the caller will run the step under GSPMD ``jit``
+    over a >1-device mesh. Mosaic (Pallas) kernels cannot be automatically
+    partitioned by GSPMD (the AOT pod-compile audit reproduces the compile
+    error: "Mosaic kernels cannot be automatically partitioned"), so
+    ``auto`` selects the XLA augmentation lowering there — measured
+    bit-identical to the Pallas kernel (tests/test_pallas_augment.py) and
+    natively partitionable. Pallas stays the pick for single-device and
+    ``--dp-mode shard_map`` (the kernel runs inside the per-replica body).
+    """
     import jax.numpy as jnp
     dtype = jnp.bfloat16 if cfg.train.dtype == "bfloat16" else jnp.float32
     d = cfg.data
@@ -53,7 +63,13 @@ def _augment_fns(cfg: Config):
         impl = d.augment_impl
         if impl == "auto":
             impl = ("pallas" if jax.default_backend() == "tpu"
-                    else "xla")
+                    and not multi_device_jit else "xla")
+        elif impl == "pallas" and multi_device_jit:
+            raise ValueError(
+                "augment_impl='pallas' cannot run under GSPMD jit on a "
+                "multi-device mesh (Mosaic kernels cannot be automatically "
+                "partitioned); use --dp-mode shard_map or "
+                "--augment-impl xla (bit-identical)")
         if impl == "pallas":
             # measured bit-identical to the XLA path and ~10% faster on
             # v5e (PERF_NOTES.md); falls back internally for the
@@ -133,7 +149,10 @@ class Solver:
         # delete is a collective, so ranks must agree without peeking at
         # the filesystem (checkpoint.py multi-process rule)
         self._saved_steps = set()
-        aug_fn, eval_fn = _augment_fns(cfg)
+        aug_fn, eval_fn = _augment_fns(
+            cfg, multi_device_jit=(self.mesh is not None
+                                   and t.dp_mode == "jit"
+                                   and self.mesh.size > 1))
         from resnet_tpu.utils.xla_opts import compiler_options
         xla_opts = compiler_options(getattr(t, "xla_opts", None))
         # multi-step dispatch (steps._scan_steps): K SGD steps ride one

@@ -281,3 +281,29 @@ class TestMultiStepDispatch:
             state = solver.train_epoch(state, it, ep)
         assert solver.last_train_metrics["cross-entropy"] \
             < m1["cross-entropy"]
+
+
+class TestAugmentImplSelection:
+    """Mosaic kernels cannot be GSPMD-auto-partitioned: the Pallas
+    augmentation path must never be selected under a >1-device ``jit``
+    mesh (the AOT pod audit, tools/pod_compile_probe.py --pallas-aug,
+    reproduces the Mosaic compile error this guard prevents)."""
+
+    def test_pallas_rejected_under_multidevice_jit(self):
+        from resnet_tpu.config import Config
+        from resnet_tpu.train.solver import _augment_fns
+        cfg = Config()   # imagenet-shaped: the impl selector applies
+        cfg.data.augment_impl = "pallas"
+        with pytest.raises(ValueError, match="shard_map"):
+            _augment_fns(cfg, multi_device_jit=True)
+
+    def test_auto_and_single_device_still_build(self):
+        from resnet_tpu.config import Config
+        from resnet_tpu.train.solver import _augment_fns
+        cfg = Config()
+        cfg.data.augment_impl = "auto"
+        train_fn, eval_fn = _augment_fns(cfg, multi_device_jit=True)
+        assert train_fn is not None and eval_fn is not None
+        cfg.data.augment_impl = "pallas"   # fine off the GSPMD-jit path
+        train_fn, _ = _augment_fns(cfg, multi_device_jit=False)
+        assert train_fn is not None

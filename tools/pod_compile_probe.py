@@ -124,6 +124,11 @@ def main():
     p.add_argument("--spd", type=int, default=None,
                    help="steps_per_dispatch override (default: preset; "
                         "the R50 preset ships 4, unrolled)")
+    p.add_argument("--remat", action=argparse.BooleanOptionalAction,
+                   default=None,
+                   help="override the preset's remat (memonger analog) — "
+                        "e.g. --no-remat on imagenet_resnet152_dp shows "
+                        "the HBM the recompute policy saves")
     p.add_argument("--quick", action="store_true",
                    help="tiny CIFAR-shape program — fast tool check")
     p.add_argument("--pallas-aug", action="store_true",
@@ -165,6 +170,8 @@ def main():
     cfg.train.num_devices = n
     if args.dp_mode:
         cfg.train.dp_mode = args.dp_mode
+    if args.remat is not None:
+        cfg.train.remat = args.remat
     if args.spd is not None:
         cfg.train.steps_per_dispatch = args.spd
     spd = max(1, cfg.train.steps_per_dispatch)
