@@ -212,6 +212,14 @@ class TrainConfig:
     num_devices: int = 0              # 0 = all local devices
     dp_mode: str = "jit"              # jit (GSPMD) | shard_map (explicit psum)
     sync_bn: bool = False             # cross-replica BN stats (reference: per-device)
+    dp_comm_dtype: str = "float32"    # shard_map gradient all-reduce dtype
+                                      # (float32 | bfloat16). bfloat16 halves
+                                      # ICI bytes and matches both GSPMD's
+                                      # implicit bf16 wgrad reduction and
+                                      # MXNet multi_precision's fp16 kvstore
+                                      # push (PERF_NOTES round 3j). GSPMD
+                                      # jit mode ignores it (the compiler
+                                      # already re-types the reduce).
 
 
 @dataclass
@@ -515,6 +523,11 @@ def build_parser() -> argparse.ArgumentParser:
                    help="devices on the data mesh (reference: --gpus)")
     p.add_argument("--dp-mode", choices=["jit", "shard_map"], default=None,
                    help="data-parallel impl (reference: --kv-store)")
+    p.add_argument("--dp-comm-dtype", choices=["float32", "bfloat16"],
+                   default=None,
+                   help="shard_map gradient all-reduce dtype; bfloat16 "
+                        "halves ICI bytes (= GSPMD's implicit behavior "
+                        "and MXNet multi_precision's fp16 push)")
     return p
 
 
@@ -608,6 +621,8 @@ def config_from_args(args: argparse.Namespace) -> Config:
     if args.seed is not None: t["seed"] = args.seed
     if args.num_devices is not None: t["num_devices"] = args.num_devices
     if args.dp_mode is not None: t["dp_mode"] = args.dp_mode
+    if args.dp_comm_dtype is not None:
+        t["dp_comm_dtype"] = args.dp_comm_dtype
     return Config(
         data=dataclasses.replace(cfg.data, **d),
         model=dataclasses.replace(cfg.model, **m),

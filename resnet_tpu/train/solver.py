@@ -159,10 +159,14 @@ class Solver:
         # dispatched XLA program. Epoch tails shorter than K run through a
         # lazily-built single-step program (exact same per-step math).
         self._spd = max(1, t.steps_per_dispatch)
+        import jax.numpy as jnp
+        comm_dtype = (jnp.bfloat16
+                      if getattr(t, "dp_comm_dtype", "float32") == "bfloat16"
+                      else None)
         self._mk_step = lambda k: make_train_step(
             self.mesh, t.dp_mode, t.label_smooth, augment_fn=aug_fn,
             compiler_options=xla_opts, steps_per_dispatch=k,
-            spd_unroll=t.spd_unroll)
+            spd_unroll=t.spd_unroll, comm_dtype=comm_dtype)
         self.train_step = self._mk_step(self._spd)
         self._single_step = self.train_step if self._spd == 1 else None
         self.eval_step = make_eval_step(

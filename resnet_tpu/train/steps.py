@@ -38,7 +38,8 @@ from resnet_tpu.train.state import TrainState
 
 def train_step(state: TrainState, batch, label_smooth: float = 0.0,
                axis_name: Optional[str] = None,
-               augment_fn: Optional[Callable] = None):
+               augment_fn: Optional[Callable] = None,
+               comm_dtype=None):
     """One SGD step. Pure; jit/shard_map wrappers below.
 
     ``augment_fn(images_u8, rng) -> images`` runs INSIDE this XLA program
@@ -68,8 +69,20 @@ def train_step(state: TrainState, batch, label_smooth: float = 0.0,
 
     if axis_name is not None:
         # explicit DP: all-reduce grads (kvstore push+pull equivalent) and
-        # keep BN running stats replica-consistent.
-        grads = jax.lax.pmean(grads, axis_name)
+        # keep BN running stats replica-consistent. ``comm_dtype`` reduces
+        # the gradients in that dtype (e.g. bf16): the pod-compile audit
+        # (PERF_NOTES round 3j) shows GSPMD already sums wgrads in bf16
+        # before the f32 convert — and MXNet multi_precision pushed fp16
+        # gradients to the kvstore (mxnet:src/kvstore) — so this matches
+        # both at half the ICI bytes. BN stats stay f32 (tiny, precision-
+        # sensitive).
+        if comm_dtype is not None:
+            orig = jax.tree.map(lambda g: g.dtype, grads)
+            grads = jax.tree.map(lambda g: g.astype(comm_dtype), grads)
+            grads = jax.lax.pmean(grads, axis_name)
+            grads = jax.tree.map(lambda g, d: g.astype(d), grads, orig)
+        else:
+            grads = jax.lax.pmean(grads, axis_name)
         new_stats = jax.lax.pmean(new_stats, axis_name)
 
     new_state = state.apply_gradients(grads).replace(batch_stats=new_stats)
@@ -121,7 +134,8 @@ def make_train_step(mesh: Optional[Mesh] = None, dp_mode: str = "jit",
                     augment_fn: Optional[Callable] = None,
                     compiler_options: Optional[dict] = None,
                     steps_per_dispatch: int = 1,
-                    spd_unroll: bool = False) -> Callable:
+                    spd_unroll: bool = False,
+                    comm_dtype=None) -> Callable:
     """Compile the train step for the given mesh/mode.
 
     Returns ``f(state, batch) -> (state, metrics)`` with the state donated
@@ -159,7 +173,8 @@ def make_train_step(mesh: Optional[Mesh] = None, dp_mode: str = "jit",
 
     if dp_mode == "shard_map":
         fn = partial(train_step, label_smooth=label_smooth,
-                     axis_name=DATA_AXIS, augment_fn=augment_fn)
+                     axis_name=DATA_AXIS, augment_fn=augment_fn,
+                     comm_dtype=comm_dtype)
         batch_spec = P(DATA_AXIS)
         if k > 1:
             # scan INSIDE the shard_map body: each replica scans its own

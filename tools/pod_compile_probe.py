@@ -124,6 +124,9 @@ def main():
     p.add_argument("--spd", type=int, default=None,
                    help="steps_per_dispatch override (default: preset; "
                         "the R50 preset ships 4, unrolled)")
+    p.add_argument("--dp-comm-dtype", choices=["float32", "bfloat16"],
+                   default=None,
+                   help="shard_map gradient all-reduce dtype override")
     p.add_argument("--remat", action=argparse.BooleanOptionalAction,
                    default=None,
                    help="override the preset's remat (memonger analog) — "
@@ -205,9 +208,15 @@ def main():
     if (ch, cw) != (h, w):
         batch_abs["dims"] = jax.ShapeDtypeStruct(lead + (4,), jnp.int32)
 
+    if args.dp_comm_dtype:
+        cfg.train.dp_comm_dtype = args.dp_comm_dtype
+    comm_dtype = (jnp.bfloat16
+                  if getattr(cfg.train, "dp_comm_dtype", "") == "bfloat16"
+                  else None)
     step_fn = make_train_step(
         mesh=mesh, dp_mode=cfg.train.dp_mode, augment_fn=aug_fn,
-        steps_per_dispatch=spd, spd_unroll=cfg.train.spd_unroll)
+        steps_per_dispatch=spd, spd_unroll=cfg.train.spd_unroll,
+        comm_dtype=comm_dtype)
 
     import time
     tic = time.perf_counter()
@@ -226,6 +235,7 @@ def main():
         "spd_unroll": bool(cfg.train.spd_unroll and spd > 1),
         "remat": cfg.train.remat,
         "dtype": cfg.train.dtype,
+        "dp_comm_dtype": getattr(cfg.train, "dp_comm_dtype", "float32"),
         "compile_seconds": round(compile_s, 1),
     }
     report.update(audit_hlo(compiled.as_text()))
