@@ -270,13 +270,16 @@ def imagenet_resnet50() -> Config:
     global batch is 128N — enable --warmup at pod scale exactly as the
     large-batch presets do.
 
-    Execution schedule (round 3f/3g batteries, BATTERY_r3{f,g,h}.jsonl):
-    4 SGD steps per dispatched program with the scan UNROLLED (XLA
-    schedules across step boundaries — the tail reduces of step i
-    overlap the head convs of step i+1) and the space-to-depth stem
-    lowering. Measured 2978-2984 img/s/chip vs 2871 at spd=1 (+3.9%);
-    K=4 is the knee (K=8 ties it at double the compile cost), and the
-    bs128 optimum holds under unroll (bs256: 2762). Both knobs are
+    Execution schedule (round 3f/3g batteries, BATTERY_r3{f,g,h}.jsonl;
+    K refined in round 3k, BATTERY_r3k.jsonl): 6 SGD steps per
+    dispatched program with the scan UNROLLED (XLA schedules across
+    step boundaries — the tail reduces of step i overlap the head convs
+    of step i+1) and the space-to-depth stem lowering. Measured
+    2987 img/s/chip vs 2871 at spd=1 (+4.0%); the K-curve at
+    median-window resolution peaks sharply at 6 (K=4: 2981, K=5: 2982,
+    K=6: 2987/2987, K=7: 2977, K=8: 2980 — the r3f "K=4 knee" was an
+    artifact of the old ±2% measurement band), and the bs128 optimum
+    holds under unroll (bs256: 2762). Both knobs are
     math-preserving: the K-step scan runs the identical update
     (tests/test_multistep.py pins scan ≡ sequential, unrolled ≡ looped,
     sharded ≡ single-device) and the s2d stem is an exact reindex of
@@ -291,7 +294,7 @@ def imagenet_resnet50() -> Config:
     cfg = Config()
     cfg.train = dataclasses.replace(cfg.train, bn_ema=True,
                                     batch_size=128, lr=0.05,
-                                    steps_per_dispatch=4, spd_unroll=True,
+                                    steps_per_dispatch=6, spd_unroll=True,
                                     stem_s2d=True, dtype="bfloat16")
     return cfg
 

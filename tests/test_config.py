@@ -52,10 +52,12 @@ class TestCLI:
         assert p2.train.bn_ema
         assert p2.train.batch_size == 128
         assert p2.train.lr == pytest.approx(0.05)
-        # round 3f/3g execution schedule: unrolled 4-step dispatch +
-        # space-to-depth stem (both math-preserving; PERF_NOTES.md)
-        assert p2.train.steps_per_dispatch == 4 and p2.train.spd_unroll
+        # round 3f/3g execution schedule (K refined to 6 in round 3k):
+        # unrolled 6-step dispatch + space-to-depth stem (both
+        # math-preserving; PERF_NOTES.md)
+        assert p2.train.steps_per_dispatch == 6 and p2.train.spd_unroll
         assert p2.train.stem_s2d
+        assert p2.train.dtype == "bfloat16"
         p3 = PRESETS["imagenet_resnext50"]()
         assert p3.train.bn_ema and p3.train.batch_size == 256
         p4 = PRESETS["imagenet_resnet101_bf16"]()
