@@ -309,12 +309,17 @@ def imagenet_resnext50() -> Config:
     win); bn_ema (round 3d) lifts it to 1899 img/s (+9.8%) and carries
     the same convergence evidence as ResNet (record-pipeline bar PASS,
     ResNeXt rung in tests/test_convergence_record.py). Batch stays 256:
-    the R50 bs128 peak does not transfer (1907@128 — noise-level)."""
+    the R50 bs128 peak does not transfer (1907@128 — noise-level).
+    The round-3h battery measured the family under the spd4-unroll +
+    s2d dispatch schedule (1924 img/s, +11.7% over round 2), so the
+    preset ships it (K=6 is only validated for R50 bs128)."""
     cfg = Config()
     cfg.model = dataclasses.replace(cfg.model, network="resnext", depth=50)
     cfg.train = dataclasses.replace(cfg.train, grouped_dense=True,
                                     grouped_merge=2, bn_ema=True,
-                                    dtype="bfloat16")
+                                    dtype="bfloat16",
+                                    steps_per_dispatch=4, spd_unroll=True,
+                                    stem_s2d=True)
     return cfg
 
 
@@ -323,12 +328,15 @@ def imagenet_resnet101_bf16() -> Config:
 
     bn_ema since round 3d: +6.7% measured at depth 101 (1839 vs 1723
     img/s at bs256; same BN layers and dynamics as the bar-validated
-    R50 recipe — PERF_NOTES.md round 3c/3d)."""
+    R50 recipe — PERF_NOTES.md round 3c/3d). Ships the spd4-unroll +
+    s2d dispatch schedule the round-3h battery measured the family
+    under (1841 img/s, +7.3% over the bn-ema-only recipe)."""
     cfg = Config()
     cfg.model = dataclasses.replace(cfg.model, depth=101)
     cfg.train = dataclasses.replace(
         cfg.train, batch_size=1024, lr=0.4, warmup=True, warmup_epochs=5,
-        dtype="bfloat16", bn_ema=True)
+        dtype="bfloat16", bn_ema=True,
+        steps_per_dispatch=4, spd_unroll=True, stem_s2d=True)
     return cfg
 
 
@@ -337,12 +345,17 @@ def imagenet_resnet152_dp() -> Config:
 
     bn_ema since round 3d: +3.8% measured at depth 152 (1268 vs 1222
     img/s at bs256 single-chip; composes with remat and both dp modes —
-    the driver dryrun covers the sharded ema program)."""
+    the driver dryrun covers the sharded ema program). Ships the
+    spd4-unroll + s2d dispatch schedule the round-3h battery measured
+    the family under (1268 img/s at bs192 single-chip); the AOT pod
+    audit (PERF_NOTES round 3j) validates HBM/collectives for the
+    16-chip program."""
     cfg = Config()
     cfg.model = dataclasses.replace(cfg.model, depth=152)
     cfg.train = dataclasses.replace(
         cfg.train, batch_size=4096, lr=1.6, warmup=True, warmup_epochs=5,
-        dtype="bfloat16", remat=True, num_devices=16, bn_ema=True)
+        dtype="bfloat16", remat=True, num_devices=16, bn_ema=True,
+        steps_per_dispatch=4, spd_unroll=True, stem_s2d=True)
     return cfg
 
 
