@@ -328,15 +328,17 @@ def imagenet_resnet101_bf16() -> Config:
 
     bn_ema since round 3d: +6.7% measured at depth 101 (1839 vs 1723
     img/s at bs256; same BN layers and dynamics as the bar-validated
-    R50 recipe — PERF_NOTES.md round 3c/3d). Ships the spd4-unroll +
-    s2d dispatch schedule the round-3h battery measured the family
-    under (1841 img/s, +7.3% over the bn-ema-only recipe)."""
+    R50 recipe — PERF_NOTES.md round 3c/3d). Ships the K=6 unrolled
+    dispatch schedule + s2d stem: the round-3k precision battery
+    measured 1847.9 at K=6 vs 1841.2 at K=4 (non-overlapping window
+    intervals) — depth 101 follows R50's K=6 peak, unlike ResNeXt/R152
+    which stay at their measured K=4."""
     cfg = Config()
     cfg.model = dataclasses.replace(cfg.model, depth=101)
     cfg.train = dataclasses.replace(
         cfg.train, batch_size=1024, lr=0.4, warmup=True, warmup_epochs=5,
         dtype="bfloat16", bn_ema=True,
-        steps_per_dispatch=4, spd_unroll=True, stem_s2d=True)
+        steps_per_dispatch=6, spd_unroll=True, stem_s2d=True)
     return cfg
 
 
