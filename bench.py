@@ -59,6 +59,10 @@ def main():
                         "loop — the serving/validation-scoring path")
     p.add_argument("--no-augment", action="store_true",
                    help="skip on-device augmentation (pure model step)")
+    p.add_argument("--augment-impl", choices=["auto", "pallas", "xla"],
+                   default="auto",
+                   help="on-device augmentation lowering (auto = the "
+                        "trainer's selection rule)")
     p.add_argument("--max-rotate-angle", type=float, default=0.0,
                    help="enable the IN-GRAPH rotate/shear path (uniform "
                         "degrees in [-a, a]) to measure its cost — the "
@@ -250,7 +254,10 @@ def main():
         # --dp-mode jit on a >1-device mesh use the bit-identical XLA
         # lowering (train/solver.py _augment_fns has the same rule)
         multi_jit = args.dp_mode == "jit" and len(jax.devices()) > 1
-        if jax.default_backend() == "tpu" and not multi_jit:
+        use_pallas = (jax.default_backend() == "tpu" and not multi_jit
+                      if args.augment_impl == "auto"
+                      else args.augment_impl == "pallas")
+        if use_pallas:
             from resnet_tpu.ops.augment_pallas import augment_imagenet_pallas
             aug_fn = lambda imgs, rng, dims=None: augment_imagenet_pallas(
                 imgs, rng, cfg.data, cfg.data.image_shape[:2], dtype,
@@ -363,6 +370,8 @@ def main():
         name += "_quick"
     if args.no_augment:
         name += "_noaug"
+    if args.augment_impl != "auto":
+        name += f"_aug{args.augment_impl}"
     if args.canvas:
         name += f"_canvas{args.canvas}"
     if args.max_rotate_angle:
