@@ -63,6 +63,15 @@ class DataConfig:
     random_l: int = 50
     mean_rgb: tuple = (123.68, 116.779, 103.939)
     std_rgb: tuple = (58.393, 57.12, 57.375)
+    # Normalize-stage photometric jitters of mx.io.ImageRecordIter
+    # (ref: mxnet src/io/iter_image_recordio_2.cc folds them into the
+    # per-image RGBA_MULT/RGBA_BIAS normalize constants — reconstructed,
+    # mount empty): contrast alpha ~ U[1-c, 1+c] scales the
+    # mean-subtracted pixel, illumination beta ~ U[-il, il] adds in raw
+    # pixel units, both before the /std. The reference ImageNet cfgs
+    # leave them 0 (off), matching these defaults.
+    max_random_contrast: float = 0.0
+    max_random_illumination: float = 0.0
     preprocess_threads: int = 4
     prefetch_buffer: int = 2
     # Train-canvas size (0 = auto: 8/7 of the output, e.g. 256 for 224).
@@ -416,6 +425,14 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--random-l", type=int, default=None)
     p.add_argument("--max-rotate-angle", type=float, default=None)
     p.add_argument("--max-shear-ratio", type=float, default=None)
+    p.add_argument("--max-random-contrast", type=float, default=None,
+                   help="per-image contrast jitter: the mean-subtracted "
+                        "pixel scales by U[1-c, 1+c] (reference "
+                        "ImageRecordIter knob; off by default)")
+    p.add_argument("--max-random-illumination", type=float, default=None,
+                   help="per-image illumination jitter: U[-i, i] added in "
+                        "raw pixel units before /std (reference "
+                        "ImageRecordIter knob; off by default)")
     p.add_argument("--rotate-backend", choices=["host", "device"],
                    default=None,
                    help="where the rotate/shear warp runs (host: record-"
@@ -592,6 +609,10 @@ def config_from_args(args: argparse.Namespace) -> Config:
         d["max_rotate_angle"] = args.max_rotate_angle
     if args.max_shear_ratio is not None:
         d["max_shear_ratio"] = args.max_shear_ratio
+    if args.max_random_contrast is not None:
+        d["max_random_contrast"] = args.max_random_contrast
+    if args.max_random_illumination is not None:
+        d["max_random_illumination"] = args.max_random_illumination
     if args.rotate_backend is not None:
         d["rotate_backend"] = args.rotate_backend
     if args.augment_impl is not None:

@@ -17,7 +17,11 @@ Semantics (parity-critical, ref kwargs in parentheses):
   - horizontal mirror with p=0.5 (``rand_mirror``).
   - HSL jitter: additive uniform deltas on hue/sat/lightness
     (``random_h/random_s/random_l``).
-  - normalize: (x - mean_rgb) / std_rgb (``mean_r/g/b``, ``std_r/g/b``).
+  - normalize: ((x - mean_rgb) * alpha + beta) / std_rgb (``mean_r/g/b``,
+    ``std_r/g/b``) with the optional per-image photometric jitters
+    alpha ~ U[1-c, 1+c] (``max_random_contrast``) and beta ~ U[-il, il]
+    (``max_random_illumination``) — the ImageRecordIter normalize-stage
+    knobs; both off in every shipped preset (finish_normalize).
   - CIFAR path: pad-4 + random 32x32 crop + mirror (the classic recipe the
     reference applies via rand_crop on 32x32 inputs).
 
@@ -57,6 +61,45 @@ def normalize(images: jnp.ndarray, mean_rgb, std_rgb,
     return ((x - mean) * inv_std).astype(dtype)
 
 
+def finish_normalize(images: jnp.ndarray, rng, cfg: DataConfig,
+                     dtype=jnp.float32) -> jnp.ndarray:
+    """Shared train-time normalize epilogue of BOTH augmentation backends.
+
+    Implements the reference's normalize stage including the optional
+    ``max_random_contrast`` / ``max_random_illumination`` photometric
+    jitters (ref: mx.io.ImageRecordIter kwargs; mxnet
+    src/io/iter_image_recordio_2.cc folds them into the per-image
+    RGBA_MULT/RGBA_BIAS normalize constants — reconstructed semantics,
+    the mount is empty):
+
+        out = ((x - mean) * alpha + beta) / std
+        alpha ~ U[1-c, 1+c] per image,  beta ~ U[-il, il] per image
+
+    ``rng`` is the augmenter's per-step key; the jitter keys derive via
+    ``fold_in`` so enabling the knobs does not perturb the crop/mirror/HSL
+    streams (golden trajectories stay valid). With both knobs 0 (every
+    shipped preset) the op sequence is bitwise-identical to the plain
+    (x - mean) * inv_std normalize.
+    """
+    mean = jnp.asarray(cfg.mean_rgb, jnp.float32)
+    inv_std = 1.0 / jnp.asarray(cfg.std_rgb, jnp.float32)
+    x = images.astype(jnp.float32) - mean
+    c = getattr(cfg, "max_random_contrast", 0.0)
+    il = getattr(cfg, "max_random_illumination", 0.0)
+    if c > 0 or il > 0:
+        n = x.shape[0]
+        r_con, r_ill = jax.random.split(jax.random.fold_in(rng, 0xC1))
+        if c > 0:
+            alpha = jax.random.uniform(
+                r_con, (n, 1, 1, 1), minval=1.0 - c, maxval=1.0 + c)
+            x = x * alpha
+        if il > 0:
+            beta = jax.random.uniform(
+                r_ill, (n, 1, 1, 1), minval=-il, maxval=il)
+            x = x + beta
+    return (x * inv_std).astype(dtype)
+
+
 def _mirror(images: jnp.ndarray, rng) -> jnp.ndarray:
     """Per-example horizontal flip with p=0.5 (ref: rand_mirror)."""
     n = images.shape[0]
@@ -86,7 +129,7 @@ def augment_cifar(images_u8: jnp.ndarray, rng, cfg: DataConfig,
     images = jax.vmap(crop_one)(padded, dy, dx)
     if cfg.rand_mirror:
         images = _mirror(images, r_mirror)
-    return normalize(images, cfg.mean_rgb, cfg.std_rgb, dtype)
+    return finish_normalize(images, rng, cfg, dtype)
 
 
 # ---------------------------------------------------------------------------
@@ -464,9 +507,7 @@ def augment_imagenet(canvas_u8: jnp.ndarray, rng, cfg: DataConfig,
     if cfg.random_h or cfg.random_s or cfg.random_l:
         x = _rgb_to_hsl_adjust(x, r_hsl, cfg.random_h, cfg.random_s,
                                cfg.random_l)
-    mean = jnp.asarray(cfg.mean_rgb, jnp.float32)
-    inv_std = 1.0 / jnp.asarray(cfg.std_rgb, jnp.float32)
-    return ((x - mean) * inv_std).astype(dtype)
+    return finish_normalize(x, rng, cfg, dtype)
 
 
 def eval_center_crop(canvas_u8: jnp.ndarray, cfg: DataConfig,

@@ -168,16 +168,22 @@ def augment_imagenet_pallas(canvas_u8: jnp.ndarray, rng, cfg: DataConfig,
             if cfg.rand_mirror else None)
     valid = (dims[:, 2], dims[:, 3]) if dims is not None else None
 
-    if cfg.random_h or cfg.random_s or cfg.random_l:
-        # jitter operates on un-normalized pixels: crop with identity
-        # normalization, jitter, then normalize.
-        from resnet_tpu.ops.augment import _rgb_to_hsl_adjust, normalize
+    photometric = (cfg.random_h or cfg.random_s or cfg.random_l
+                   or getattr(cfg, "max_random_contrast", 0.0) > 0
+                   or getattr(cfg, "max_random_illumination", 0.0) > 0)
+    if photometric:
+        # photometric jitter operates on un-normalized pixels: crop with
+        # identity normalization, jitter, then the shared normalize
+        # epilogue (same code as the XLA path -> bitwise parity).
+        from resnet_tpu.ops.augment import _rgb_to_hsl_adjust, \
+            finish_normalize
         x = fused_crop_mirror_normalize(
             canvas_u8, boxes, flip, out_hw, (0.0, 0.0, 0.0),
             (1.0, 1.0, 1.0), jnp.float32, interpret, valid_hw=valid)
-        x = _rgb_to_hsl_adjust(x, r_hsl, cfg.random_h, cfg.random_s,
-                               cfg.random_l)
-        return normalize(x, cfg.mean_rgb, cfg.std_rgb, dtype)
+        if cfg.random_h or cfg.random_s or cfg.random_l:
+            x = _rgb_to_hsl_adjust(x, r_hsl, cfg.random_h, cfg.random_s,
+                                   cfg.random_l)
+        return finish_normalize(x, rng, cfg, dtype)
 
     return fused_crop_mirror_normalize(
         canvas_u8, boxes, flip, out_hw, cfg.mean_rgb, cfg.std_rgb, dtype,
