@@ -72,6 +72,12 @@ class DataConfig:
     # leave them 0 (off), matching these defaults.
     max_random_contrast: float = 0.0
     max_random_illumination: float = 0.0
+    # Classic pad-and-crop knobs of ImageRecordIter (``pad``,
+    # ``fill_value``), used by the CIFAR path: pad pixels on every side
+    # (constant fill) before the random data_shape crop. Defaults = the
+    # classic CIFAR recipe (pad 4, zero fill).
+    pad: int = 4
+    fill_value: int = 0
     preprocess_threads: int = 4
     prefetch_buffer: int = 2
     # Train-canvas size (0 = auto: 8/7 of the output, e.g. 256 for 224).
@@ -433,6 +439,12 @@ def build_parser() -> argparse.ArgumentParser:
                    help="per-image illumination jitter: U[-i, i] added in "
                         "raw pixel units before /std (reference "
                         "ImageRecordIter knob; off by default)")
+    p.add_argument("--pad", type=int, default=None,
+                   help="CIFAR pad-and-crop: pixels padded on every side "
+                        "before the random crop (reference ImageRecordIter "
+                        "knob; default 4, the classic CIFAR recipe)")
+    p.add_argument("--fill-value", type=int, default=None,
+                   help="constant fill for --pad padding (default 0)")
     p.add_argument("--rotate-backend", choices=["host", "device"],
                    default=None,
                    help="where the rotate/shear warp runs (host: record-"
@@ -613,6 +625,8 @@ def config_from_args(args: argparse.Namespace) -> Config:
         d["max_random_contrast"] = args.max_random_contrast
     if args.max_random_illumination is not None:
         d["max_random_illumination"] = args.max_random_illumination
+    if args.pad is not None: d["pad"] = args.pad
+    if args.fill_value is not None: d["fill_value"] = args.fill_value
     if args.rotate_backend is not None:
         d["rotate_backend"] = args.rotate_backend
     if args.augment_impl is not None:

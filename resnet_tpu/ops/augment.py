@@ -113,12 +113,20 @@ def _mirror(images: jnp.ndarray, rng) -> jnp.ndarray:
 # ---------------------------------------------------------------------------
 
 def augment_cifar(images_u8: jnp.ndarray, rng, cfg: DataConfig,
-                  dtype=jnp.float32, pad: int = 4) -> jnp.ndarray:
-    """(N,32,32,3) uint8 -> augmented normalized (N,32,32,3) dtype."""
+                  dtype=jnp.float32,
+                  pad: Optional[int] = None) -> jnp.ndarray:
+    """(N,32,32,3) uint8 -> augmented normalized (N,32,32,3) dtype.
+
+    ``pad``/``fill_value`` follow the reference ImageRecordIter knobs
+    (cfg.pad/cfg.fill_value; an explicit ``pad`` argument overrides).
+    """
     n, h, w, c = images_u8.shape
+    if pad is None:
+        pad = int(getattr(cfg, "pad", 4))
+    fill = int(getattr(cfg, "fill_value", 0))
     r_crop, r_mirror = jax.random.split(rng)
     padded = jnp.pad(images_u8, ((0, 0), (pad, pad), (pad, pad), (0, 0)),
-                     mode="constant")
+                     mode="constant", constant_values=fill)
     dy = jax.random.randint(r_crop, (n,), 0, 2 * pad + 1)
     dx = jax.random.randint(jax.random.fold_in(r_crop, 1), (n,), 0,
                             2 * pad + 1)

@@ -88,6 +88,43 @@ def test_pallas_matches_xla_with_photometric_knobs():
                                    atol=5e-2, rtol=1e-4)
 
 
+def test_cifar_pad_fill_value_oracle():
+    """ImageRecordIter `pad`/`fill_value` knobs on the CIFAR pad-and-crop
+    path: NumPy replay of the padded crop with the implementation's own
+    offset draws."""
+    rng = np.random.default_rng(3)
+    imgs = rng.integers(0, 256, (3, 8, 8, 3), dtype=np.uint8)
+    key = jax.random.key(21)
+    cfg = DataConfig(pad=2, fill_value=255, rand_mirror=False)
+    got = np.asarray(augment.augment_cifar(
+        jnp.asarray(imgs), key, cfg, jnp.float32))
+    r_crop, _ = jax.random.split(key)
+    dy = np.asarray(jax.random.randint(r_crop, (3,), 0, 5))
+    dx = np.asarray(jax.random.randint(
+        jax.random.fold_in(r_crop, 1), (3,), 0, 5))
+    mean = np.array(cfg.mean_rgb, np.float32)
+    std = np.array(cfg.std_rgb, np.float32)
+    padded = np.pad(imgs, ((0, 0), (2, 2), (2, 2), (0, 0)),
+                    constant_values=255)
+    assert padded.max() == 255 and (dy.max() > 0 or dx.max() > 0)
+    for i in range(3):
+        want = (padded[i, dy[i]:dy[i] + 8, dx[i]:dx[i] + 8]
+                .astype(np.float32) - mean) / std
+        np.testing.assert_allclose(got[i], want, rtol=1e-5, atol=1e-4)
+
+
+def test_cifar_pad_zero_is_identity_crop():
+    rng = np.random.default_rng(4)
+    imgs = rng.integers(0, 256, (2, 8, 8, 3), dtype=np.uint8)
+    cfg = DataConfig(pad=0, rand_mirror=False)
+    got = np.asarray(augment.augment_cifar(
+        jnp.asarray(imgs), jax.random.key(2), cfg, jnp.float32))
+    mean = np.array(cfg.mean_rgb, np.float32)
+    std = np.array(cfg.std_rgb, np.float32)
+    want = (imgs.astype(np.float32) - mean) / std
+    np.testing.assert_allclose(got, want, rtol=1e-5, atol=1e-4)
+
+
 def test_cli_plumb_through():
     cfg = parse_config([
         "--preset", "imagenet_resnet50",
@@ -96,6 +133,10 @@ def test_cli_plumb_through():
     ])
     assert cfg.data.max_random_contrast == 0.125
     assert cfg.data.max_random_illumination == 12.5
+    cfg2 = parse_config(["--preset", "cifar10_resnet18",
+                         "--pad", "2", "--fill-value", "128"])
+    assert cfg2.data.pad == 2 and cfg2.data.fill_value == 128
+    assert DataConfig().pad == 4 and DataConfig().fill_value == 0
     # defaults stay off (the reference ImageNet cfgs leave them 0)
     assert DataConfig().max_random_contrast == 0.0
     assert DataConfig().max_random_illumination == 0.0
