@@ -75,7 +75,9 @@ class DataConfig:
     # Classic pad-and-crop knobs of ImageRecordIter (``pad``,
     # ``fill_value``), used by the CIFAR path: pad pixels on every side
     # (constant fill) before the random data_shape crop. Defaults = the
-    # classic CIFAR recipe (pad 4, zero fill).
+    # classic CIFAR recipe (pad 4, zero fill); NOTE mx.io.ImageRecordIter's
+    # own defaults differ (pad=0, fill_value=255) — set both explicitly for
+    # bit-faithful reference reproduction of a non-default pad recipe.
     pad: int = 4
     fill_value: int = 0
     preprocess_threads: int = 4
@@ -442,9 +444,12 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--pad", type=int, default=None,
                    help="CIFAR pad-and-crop: pixels padded on every side "
                         "before the random crop (reference ImageRecordIter "
-                        "knob; default 4, the classic CIFAR recipe)")
+                        "knob). NOTE our default is 4 — the classic CIFAR "
+                        "recipe — where mx.io.ImageRecordIter defaults to 0")
     p.add_argument("--fill-value", type=int, default=None,
-                   help="constant fill for --pad padding (default 0)")
+                   help="constant fill for --pad padding. NOTE our default "
+                        "is 0 (zero fill, the classic CIFAR recipe) where "
+                        "mx.io.ImageRecordIter defaults to 255")
     p.add_argument("--rotate-backend", choices=["host", "device"],
                    default=None,
                    help="where the rotate/shear warp runs (host: record-"

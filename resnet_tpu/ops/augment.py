@@ -84,8 +84,8 @@ def finish_normalize(images: jnp.ndarray, rng, cfg: DataConfig,
     mean = jnp.asarray(cfg.mean_rgb, jnp.float32)
     inv_std = 1.0 / jnp.asarray(cfg.std_rgb, jnp.float32)
     x = images.astype(jnp.float32) - mean
-    c = getattr(cfg, "max_random_contrast", 0.0)
-    il = getattr(cfg, "max_random_illumination", 0.0)
+    c = cfg.max_random_contrast
+    il = cfg.max_random_illumination
     if c > 0 or il > 0:
         n = x.shape[0]
         r_con, r_ill = jax.random.split(jax.random.fold_in(rng, 0xC1))
@@ -122,8 +122,8 @@ def augment_cifar(images_u8: jnp.ndarray, rng, cfg: DataConfig,
     """
     n, h, w, c = images_u8.shape
     if pad is None:
-        pad = int(getattr(cfg, "pad", 4))
-    fill = int(getattr(cfg, "fill_value", 0))
+        pad = int(cfg.pad)
+    fill = int(cfg.fill_value)
     r_crop, r_mirror = jax.random.split(rng)
     padded = jnp.pad(images_u8, ((0, 0), (pad, pad), (pad, pad), (0, 0)),
                      mode="constant", constant_values=fill)
@@ -501,10 +501,9 @@ def augment_imagenet(canvas_u8: jnp.ndarray, rng, cfg: DataConfig,
     n, hc, wc, _ = canvas_u8.shape
     r_box, r_mir, r_hsl, r_rot = jax.random.split(rng, 4)
     src = canvas_u8
-    if cfg.max_rotate_angle > 0 or getattr(cfg, "max_shear_ratio", 0.0) > 0:
+    if cfg.max_rotate_angle > 0 or cfg.max_shear_ratio > 0:
         src = rotate_images(src.astype(jnp.float32), r_rot,
-                            cfg.max_rotate_angle,
-                            getattr(cfg, "max_shear_ratio", 0.0))
+                            cfg.max_rotate_angle, cfg.max_shear_ratio)
     boxes = sample_boxes_canvas(r_box, cfg, n, hc, wc, out_hw, dims)
     # mirror folds into the horizontal resample matrix — zero extra cost
     flip = (jax.random.bernoulli(r_mir, 0.5, (n,))

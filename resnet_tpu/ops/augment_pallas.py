@@ -155,7 +155,7 @@ def augment_imagenet_pallas(canvas_u8: jnp.ndarray, rng, cfg: DataConfig,
     HSL jitter, when enabled, is applied by the XLA path on the cropped
     output (it is elementwise and XLA fuses it into the following cast).
     """
-    if cfg.max_rotate_angle > 0 or getattr(cfg, "max_shear_ratio", 0.0) > 0:
+    if cfg.max_rotate_angle > 0 or cfg.max_shear_ratio > 0:
         # the rotation/shear warp variant only exists on the XLA path
         from resnet_tpu.ops.augment import augment_imagenet
         return augment_imagenet(canvas_u8, rng, cfg, out_hw, dtype,
@@ -169,8 +169,8 @@ def augment_imagenet_pallas(canvas_u8: jnp.ndarray, rng, cfg: DataConfig,
     valid = (dims[:, 2], dims[:, 3]) if dims is not None else None
 
     photometric = (cfg.random_h or cfg.random_s or cfg.random_l
-                   or getattr(cfg, "max_random_contrast", 0.0) > 0
-                   or getattr(cfg, "max_random_illumination", 0.0) > 0)
+                   or cfg.max_random_contrast > 0
+                   or cfg.max_random_illumination > 0)
     if photometric:
         # photometric jitter operates on un-normalized pixels: crop with
         # identity normalization, jitter, then the shared normalize
