@@ -59,10 +59,18 @@ def main():
                         "loop — the serving/validation-scoring path")
     p.add_argument("--no-augment", action="store_true",
                    help="skip on-device augmentation (pure model step)")
-    p.add_argument("--augment-impl", choices=["auto", "pallas", "xla"],
+    p.add_argument("--augment-impl",
+                   choices=["auto", "pallas", "pallas-split", "xla"],
                    default="auto",
                    help="on-device augmentation lowering (auto = the "
-                        "trainer's selection rule)")
+                        "trainer's selection rule; pallas-split = the "
+                        "pre-round-4 split-photometric kernel, f32 "
+                        "intermediate + XLA HSL)")
+    p.add_argument("--aug-s2d", action=argparse.BooleanOptionalAction,
+                   default=None,
+                   help="augmenter emits space-to-depth blocks straight "
+                        "into the pre-blocked stem (needs stem_s2d; "
+                        "deletes the regroup copies — round 4)")
     p.add_argument("--max-rotate-angle", type=float, default=0.0,
                    help="enable the IN-GRAPH rotate/shear path (uniform "
                         "degrees in [-a, a]) to measure its cost — the "
@@ -248,6 +256,11 @@ def main():
     bs = cfg.train.batch_size
 
     dtype = jnp.bfloat16 if cfg.train.dtype == "bfloat16" else jnp.float32
+    if args.aug_s2d is not None:
+        cfg.train.aug_s2d = args.aug_s2d
+    aug_s2d = (cfg.train.aug_s2d and cfg.train.stem_s2d
+               and not args.eval_mode and not args.no_augment
+               and not args.quick)
     aug_fn = None
     if not args.no_augment:
         # Mosaic (Pallas) kernels cannot be GSPMD-auto-partitioned: under
@@ -256,16 +269,17 @@ def main():
         multi_jit = args.dp_mode == "jit" and len(jax.devices()) > 1
         use_pallas = (jax.default_backend() == "tpu" and not multi_jit
                       if args.augment_impl == "auto"
-                      else args.augment_impl == "pallas")
+                      else args.augment_impl.startswith("pallas"))
         if use_pallas:
             from resnet_tpu.ops.augment_pallas import augment_imagenet_pallas
+            split = args.augment_impl == "pallas-split"
             aug_fn = lambda imgs, rng, dims=None: augment_imagenet_pallas(
                 imgs, rng, cfg.data, cfg.data.image_shape[:2], dtype,
-                dims=dims)
+                dims=dims, split_photometric=split, s2d=aug_s2d)
         else:
             aug_fn = lambda imgs, rng, dims=None: augment.augment_imagenet(
                 imgs, rng, cfg.data, cfg.data.image_shape[:2], dtype,
-                dims=dims)
+                dims=dims, s2d=aug_s2d)
 
     from resnet_tpu.utils.xla_opts import compiler_options
     mesh = None
@@ -371,7 +385,7 @@ def main():
     if args.no_augment:
         name += "_noaug"
     if args.augment_impl != "auto":
-        name += f"_aug{args.augment_impl}"
+        name += f"_aug{args.augment_impl.replace('-', '_')}"
     if args.canvas:
         name += f"_canvas{args.canvas}"
     if args.max_rotate_angle:
@@ -399,6 +413,8 @@ def main():
             name += "u"
     if cfg.train.stem_s2d:
         name += "_s2d"
+    if aug_s2d:
+        name += "_augs2d"
     if cfg.train.pool_grad != "sas":
         name += f"_pg{cfg.train.pool_grad}"
     if args.host_data:

@@ -97,7 +97,8 @@ class DataConfig:
     # Pipeline selection: 'synthetic' | 'memory' | 'record'
     pipeline: str = "record"
     # Augmentation backend: 'auto' (Pallas on TPU when supported) |
-    # 'xla' | 'pallas'
+    # 'xla' | 'pallas' | 'pallas-split' (the pre-round-4 split
+    # photometric kernel — f32 intermediate + XLA HSL; A/B comparison)
     augment_impl: str = "auto"
 
 
@@ -210,6 +211,15 @@ class TrainConfig:
                                       # reindexing, 4x MXU lane occupancy
                                       # on the C=3 stem; param tree
                                       # unchanged, models/_StemConvS2D)
+    aug_s2d: bool = False             # the on-device augmenter emits its
+                                      # output directly in the stem's
+                                      # space-to-depth block layout
+                                      # (N,H/2,W/2,12) so the regroup
+                                      # copies between augmenter and stem
+                                      # disappear (round 4; bitwise the
+                                      # standard values, reordered).
+                                      # Needs stem_s2d, v1, ImageNet stem;
+                                      # train path only (eval unchanged)
     pool_grad: str = "sas"            # stem maxpool backward: "sas" =
                                       # canonical select_and_scatter
                                       # (reference-exact argmax routing);
@@ -456,7 +466,8 @@ def build_parser() -> argparse.ArgumentParser:
                         "pipeline decode stage, the reference placement; "
                         "device: in-graph gather — 11x step cost, "
                         "PERF_NOTES.md)")
-    p.add_argument("--augment-impl", choices=["auto", "pallas", "xla"],
+    p.add_argument("--augment-impl",
+                   choices=["auto", "pallas", "pallas-split", "xla"],
                    default=None,
                    help="on-device augmentation lowering (auto: Pallas on "
                         "TPU except under multi-device GSPMD jit, where "
@@ -556,6 +567,12 @@ def build_parser() -> argparse.ArgumentParser:
                         "space-to-depth form (exact reindex to a 4x4/1 "
                         "conv on 12 channels — 4x MXU lane occupancy; "
                         "param tree unchanged)")
+    p.add_argument("--aug-s2d", action=argparse.BooleanOptionalAction,
+                   default=None,
+                   help="emit the on-device augmentation output directly "
+                        "in the stem's space-to-depth block layout "
+                        "(deletes the regroup copies between augmenter "
+                        "and stem; needs --stem-s2d, v1, ImageNet stem)")
     p.add_argument("--pool-grad", choices=["sas", "mask"], default=None,
                    help="stem maxpool backward: 'sas' = canonical "
                         "select_and_scatter (reference-exact argmax "
@@ -672,6 +689,7 @@ def config_from_args(args: argparse.Namespace) -> Config:
         t["steps_per_dispatch"] = args.steps_per_dispatch
     if args.spd_unroll is not None: t["spd_unroll"] = args.spd_unroll
     if args.stem_s2d is not None: t["stem_s2d"] = args.stem_s2d
+    if args.aug_s2d is not None: t["aug_s2d"] = args.aug_s2d
     if args.pool_grad is not None: t["pool_grad"] = args.pool_grad
     if args.remat_policy is not None: t["remat_policy"] = args.remat_policy
     if args.xla_opts is not None: t["xla_opts"] = args.xla_opts

@@ -118,16 +118,27 @@ class _StemConvS2D(nn.Module):
     dtype: Any = jnp.float32
 
     @nn.compact
-    def __call__(self, x):
-        n, h, w, c = x.shape
+    def __call__(self, x, pre_blocked: bool = False):
+        """``pre_blocked``: the input is ALREADY in (N, H/2, W/2, 4C)
+        space-to-depth block layout, channel order (py, px, c) — the
+        round-4 ``aug_s2d`` path, where the on-device augmenter emits
+        blocks directly and the stem's regroup copies disappear. The
+        parameter stays the reference-shaped (7,7,C,F) kernel either way.
+        """
+        if pre_blocked:
+            n, h2, w2, c4 = x.shape
+            c = c4 // 4
+        else:
+            n, h, w, c = x.shape
         kernel = self.param("kernel", conv_init, (7, 7, c, self.features))
         k = jnp.pad(kernel, ((1, 0), (1, 0), (0, 0), (0, 0)))
         k = (k.reshape(4, 2, 4, 2, c, self.features)
               .transpose(0, 2, 1, 3, 4, 5)
               .reshape(4, 4, 4 * c, self.features))
-        x = (x.reshape(n, h // 2, 2, w // 2, 2, c)
-              .transpose(0, 1, 3, 2, 4, 5)
-              .reshape(n, h // 2, w // 2, 4 * c))
+        if not pre_blocked:
+            x = (x.reshape(n, h // 2, 2, w // 2, 2, c)
+                  .transpose(0, 1, 3, 2, 4, 5)
+                  .reshape(n, h // 2, w // 2, 4 * c))
         return jax.lax.conv_general_dilated(
             x.astype(self.dtype), k.astype(self.dtype), (1, 1),
             ((2, 1), (2, 1)), dimension_numbers=("NHWC", "HWIO", "NHWC"))
@@ -665,9 +676,17 @@ class ResNet(nn.Module):
             if self.version == 1:
                 x = nn.relu(bn("bn0")(x, use_running_average=ra))
         else:
-            if self.stem_s2d and x.shape[1] % 2 == 0 and x.shape[2] % 2 == 0:
+            # aug_s2d contract: a 12-channel input is the augmenter's
+            # space-to-depth block output (RGB models only ship c=3, so
+            # the shape is unambiguous); requires stem_s2d
+            pre_blocked = x.shape[-1] == 12
+            if pre_blocked and not self.stem_s2d:
+                raise ValueError(
+                    "pre-blocked (12-channel) stem input needs stem_s2d")
+            if self.stem_s2d and (pre_blocked or (
+                    x.shape[1] % 2 == 0 and x.shape[2] % 2 == 0)):
                 x = _StemConvS2D(self.filters[0], dtype=self.dtype,
-                                 name="conv0")(x)
+                                 name="conv0")(x, pre_blocked=pre_blocked)
             else:
                 x = conv(self.filters[0], (7, 7), (2, 2),
                          padding=((3, 3), (3, 3)), name="conv0")(x)

@@ -62,7 +62,8 @@ def normalize(images: jnp.ndarray, mean_rgb, std_rgb,
 
 
 def finish_normalize(images: jnp.ndarray, rng, cfg: DataConfig,
-                     dtype=jnp.float32) -> jnp.ndarray:
+                     dtype=jnp.float32, channel_tile: int = 1
+                     ) -> jnp.ndarray:
     """Shared train-time normalize epilogue of BOTH augmentation backends.
 
     Implements the reference's normalize stage including the optional
@@ -80,9 +81,13 @@ def finish_normalize(images: jnp.ndarray, rng, cfg: DataConfig,
     streams (golden trajectories stay valid). With both knobs 0 (every
     shipped preset) the op sequence is bitwise-identical to the plain
     (x - mean) * inv_std normalize.
+
+    ``channel_tile=4`` normalizes a space-to-depth-blocked (..., 12)
+    image (channel order (py, px, c) — the round-4 aug_s2d layout).
     """
-    mean = jnp.asarray(cfg.mean_rgb, jnp.float32)
-    inv_std = 1.0 / jnp.asarray(cfg.std_rgb, jnp.float32)
+    mean = jnp.asarray(tuple(cfg.mean_rgb) * channel_tile, jnp.float32)
+    inv_std = 1.0 / jnp.asarray(tuple(cfg.std_rgb) * channel_tile,
+                                jnp.float32)
     x = images.astype(jnp.float32) - mean
     c = cfg.max_random_contrast
     il = cfg.max_random_illumination
@@ -310,13 +315,19 @@ def resample_weights(starts: jnp.ndarray, sizes: jnp.ndarray, out_size: int,
 def crop_resize_bilinear(images: jnp.ndarray, boxes, out_hw: Tuple[int, int],
                          dtype=jnp.float32,
                          flip: Optional[jnp.ndarray] = None,
-                         valid_hw=None) -> jnp.ndarray:
+                         valid_hw=None, s2d: bool = False) -> jnp.ndarray:
     """Per-example crop box -> bilinear resize to out_hw (+ fused mirror).
 
     Two batched matmuls on the MXU (see resample_weights): vertical then
     horizontal resample. ~350 MFLOP per 256->224 image — noise next to the
     ResNet-50 step, and it replaces every gather in the input pipeline.
     ``valid_hw`` = per-example (eff_h, eff_w) of a letterboxed canvas.
+
+    ``s2d=True`` emits the result directly in space-to-depth block layout
+    (N, oh/2, ow/2, 4c), channel order (py, px, c) — the layout
+    ``models/resnet._StemConvS2D`` consumes pre-blocked, deleting the
+    stem's regroup copies (round 4; same contractions, the 2x2 phase
+    split folded into the einsum output indexing).
     """
     y0, x0, ch, cw = boxes
     oh, ow = out_hw
@@ -332,6 +343,16 @@ def crop_resize_bilinear(images: jnp.ndarray, boxes, out_hw: Tuple[int, int],
         dimension_numbers=(((2,), (1,)), ((0,), (0,))),
         preferred_element_type=jnp.float32)
     tmp = tmp.reshape(n, oh, sw, c)
+    if s2d:
+        if oh % 2 or ow % 2:
+            raise ValueError(f"s2d needs even output size, got {out_hw}")
+        # phase-split the output rows/cols into the block-channel axes:
+        # out[n,h2,w2,py,px,c] = sum_s wx[n,2*w2+px,s] * tmp[n,2*h2+py,s,c]
+        tmp5 = tmp.reshape(n, oh // 2, 2, sw, c)
+        wx4 = wx.reshape(n, ow // 2, 2, sw)
+        out = jnp.einsum("nwqs,nhpsc->nhwpqc", wx4, tmp5,
+                         preferred_element_type=jnp.float32)
+        return out.reshape(n, oh // 2, ow // 2, 4 * c).astype(dtype)
     # contract sw: (N,ow,sw) x (N,oh,sw,c) -> (N,oh,ow,c)
     out = jnp.einsum("nws,nhsc->nhwc", wx, tmp,
                      preferred_element_type=jnp.float32)
@@ -343,14 +364,22 @@ def _rgb_to_hsl_adjust(images: jnp.ndarray, rng, random_h: float,
     """Additive HSL jitter (ref: random_h/s/l kwargs; mxnet converts
     BGR->HLS via OpenCV, adds per-image uniform deltas, converts back).
 
-    images float32 [0,255] RGB. Uses the standard HSL round-trip,
-    elementwise — pure VPU work that XLA fuses with the surrounding ops.
+    images float32 [0,255] RGB, (n, ..., 3) — any number of middle axes
+    (the aug_s2d layout reshapes to (n, h/2, w/2, 4, 3)). Uses the
+    standard HSL round-trip, elementwise — pure VPU work that XLA fuses
+    with the surrounding ops.
     """
     n = images.shape[0]
     rh, rs, rl = jax.random.split(rng, 3)
-    dh = jax.random.uniform(rh, (n, 1, 1), minval=-random_h, maxval=random_h)
-    ds = jax.random.uniform(rs, (n, 1, 1), minval=-random_s, maxval=random_s)
-    dl = jax.random.uniform(rl, (n, 1, 1), minval=-random_l, maxval=random_l)
+    # sample in the historical (n,1,1) shape (stream-stable), broadcast to
+    # the input's rank
+    bshape = (n,) + (1,) * (images.ndim - 2)
+    dh = jax.random.uniform(rh, (n, 1, 1), minval=-random_h,
+                            maxval=random_h).reshape(bshape)
+    ds = jax.random.uniform(rs, (n, 1, 1), minval=-random_s,
+                            maxval=random_s).reshape(bshape)
+    dl = jax.random.uniform(rl, (n, 1, 1), minval=-random_l,
+                            maxval=random_l).reshape(bshape)
 
     x = images / 255.0
     r, g, b = x[..., 0], x[..., 1], x[..., 2]
@@ -491,12 +520,17 @@ def sample_boxes_canvas(rng, cfg: DataConfig, n: int, hc: int, wc: int,
 def augment_imagenet(canvas_u8: jnp.ndarray, rng, cfg: DataConfig,
                      out_hw: Tuple[int, int] = (224, 224),
                      dtype=jnp.float32,
-                     dims: Optional[jnp.ndarray] = None) -> jnp.ndarray:
+                     dims: Optional[jnp.ndarray] = None,
+                     s2d: bool = False) -> jnp.ndarray:
     """(N,Hc,Wc,3) uint8 host canvas -> augmented (N,224,224,3) dtype.
 
     Full train-time pipeline: [rotate] -> random-resized-crop / scale-crop
     (MXNet sampling semantics, full-image domain when ``dims`` ships the
     original sizes) -> mirror -> HSL jitter -> normalize.
+
+    ``s2d=True``: emit (N, oh/2, ow/2, 12) space-to-depth block layout
+    for a pre-blocked stem (see crop_resize_bilinear); HSL/normalize run
+    on a (..., 4, 3) view — elementwise, same values.
     """
     n, hc, wc, _ = canvas_u8.shape
     r_box, r_mir, r_hsl, r_rot = jax.random.split(rng, 4)
@@ -510,11 +544,16 @@ def augment_imagenet(canvas_u8: jnp.ndarray, rng, cfg: DataConfig,
             if cfg.rand_mirror else None)
     valid = (dims[:, 2], dims[:, 3]) if dims is not None else None
     x = crop_resize_bilinear(src, boxes, out_hw, jnp.float32,
-                             flip=flip, valid_hw=valid)
+                             flip=flip, valid_hw=valid, s2d=s2d)
     if cfg.random_h or cfg.random_s or cfg.random_l:
+        shape = x.shape
+        if s2d:
+            x = x.reshape(shape[:-1] + (4, 3))
         x = _rgb_to_hsl_adjust(x, r_hsl, cfg.random_h, cfg.random_s,
                                cfg.random_l)
-    return finish_normalize(x, rng, cfg, dtype)
+        x = x.reshape(shape)
+    return finish_normalize(x, rng, cfg, dtype,
+                            channel_tile=4 if s2d else 1)
 
 
 def eval_center_crop(canvas_u8: jnp.ndarray, cfg: DataConfig,

@@ -60,26 +60,38 @@ def _augment_fns(cfg: Config, multi_device_jit: bool = False):
             import dataclasses as _dc
             d = _dc.replace(d, max_rotate_angle=0.0, max_shear_ratio=0.0)
         out_hw = d.image_shape[:2]
+        s2d = getattr(cfg.train, "aug_s2d", False)
+        if s2d and (not cfg.train.stem_s2d or cfg.model.version != 1
+                    or cfg.model.dataset == "cifar10"
+                    or out_hw[0] % 2 or out_hw[1] % 2):
+            raise ValueError(
+                "--aug-s2d (augmenter emits space-to-depth blocks) needs "
+                "--stem-s2d, a v1 network, the ImageNet stem and an even "
+                "output size")
         impl = d.augment_impl
         if impl == "auto":
             impl = ("pallas" if jax.default_backend() == "tpu"
                     and not multi_device_jit else "xla")
-        elif impl == "pallas" and multi_device_jit:
+        elif impl.startswith("pallas") and multi_device_jit:
             raise ValueError(
                 "augment_impl='pallas' cannot run under GSPMD jit on a "
                 "multi-device mesh (Mosaic kernels cannot be automatically "
                 "partitioned); use --dp-mode shard_map or "
                 "--augment-impl xla (bit-identical)")
-        if impl == "pallas":
-            # measured bit-identical to the XLA path and ~10% faster on
-            # v5e (PERF_NOTES.md); falls back internally for the
-            # rotation variant
+        if impl.startswith("pallas"):
+            # measured bit-identical to the XLA path and faster on v5e
+            # (PERF_NOTES.md); falls back internally for the rotation
+            # variant. 'pallas-split' restores the pre-round-4 split
+            # photometric formulation (f32 intermediate + XLA HSL) for
+            # A/B measurement.
             from resnet_tpu.ops.augment_pallas import augment_imagenet_pallas
+            split = impl == "pallas-split"
             train_fn = lambda imgs, rng, dims=None: augment_imagenet_pallas(
-                imgs, rng, d, out_hw, dtype, dims=dims)
+                imgs, rng, d, out_hw, dtype, dims=dims,
+                split_photometric=split, s2d=s2d)
         else:
             train_fn = lambda imgs, rng, dims=None: augment.augment_imagenet(
-                imgs, rng, d, out_hw, dtype, dims=dims)
+                imgs, rng, d, out_hw, dtype, dims=dims, s2d=s2d)
         eval_fn = lambda imgs: (
             augment.eval_center_crop(imgs, d, out_hw, dtype)
             if imgs.shape[1:3] != tuple(out_hw)
@@ -397,6 +409,14 @@ class Solver:
                 # same OBJECT regardless of which path produced the state
                 state = state.replace(apply_fn=self._bn_ema_apply)
         from resnet_tpu.utils.profiler import maybe_trace
+
+        if t.model_prefix and jax.process_index() == 0:
+            # the checkpoint pair carries its own graph, like
+            # mx.model.save_checkpoint writing prefix-symbol.json next to
+            # the .params files — tools/predict.py reads the structure
+            # back from it (utils/symbol_export.parse_symbol_json)
+            from resnet_tpu.utils.symbol_export import save_symbol
+            save_symbol(t.model_prefix, self.cfg)
 
         # align ranks before the FIRST collective dispatch: per-rank setup
         # skew (init/compile/cache-load on a shared host) can exceed the

@@ -216,3 +216,153 @@ def save_symbol(path_prefix: str, cfg: Config) -> str:
     with open(out, "w") as f:
         f.write(symbol_json(cfg))
     return out
+
+
+# ---------------------------------------------------------------------------
+# Import: -symbol.json -> model config (the inverse of symbol_json)
+# ---------------------------------------------------------------------------
+
+def _node_attrs(node: dict) -> dict:
+    """NNVM attr dict across MXNet json vintages (attrs/attr/param)."""
+    for key in ("attrs", "attr", "param"):
+        if key in node:
+            return node[key]
+    return {}
+
+
+def _reverse_depth(units, bottleneck: bool, cifar: bool) -> int:
+    # ImageNet-table depths first: a CIFAR-stem net can still use the
+    # 4-stage table (e.g. the cifar10 depth-18 preset — registry rule)
+    from resnet_tpu.models.resnet import (BOTTLENECK_MIN_DEPTH,
+                                          IMAGENET_UNITS)
+    for depth, u in IMAGENET_UNITS.items():
+        if tuple(units) == tuple(u) and (
+                depth >= BOTTLENECK_MIN_DEPTH) == bottleneck:
+            return depth
+    if cifar and len(units) == 3 and len(set(units)) == 1:
+        n = units[0]
+        return 9 * n + 2 if bottleneck else 6 * n + 2
+    raise ValueError(f"stage units {units} (bottleneck={bottleneck}, "
+                     f"cifar={cifar}) match no known depth table")
+
+
+def parse_symbol_json(txt: str) -> dict:
+    """Infer the model configuration from an MXNet ``-symbol.json`` graph.
+
+    The inverse of :func:`symbol_json` — so ``tools/predict.py
+    --load-epoch`` pointed at a foreign MXNet checkpoint pair (the
+    ``mx.model.load_checkpoint`` layout, SURVEY.md §3.4) needs no
+    hand-written ``--network/--depth/...`` flags: everything the symbol
+    encodes is read back out of it. Structure read:
+
+      - num_classes: the ``FullyConnected`` head's ``num_hidden``;
+      - stem: first Convolution kernel (7,7)/stride 2 = ImageNet,
+        (3,3)/stride 1 = CIFAR (selects ``dataset``);
+      - residual units: ``stageN_unitM`` name scopes of the elemwise_add
+        nodes (the naming this repo family uses — ref:symbol/resnet.py);
+      - v1 vs v2: v1 units end in relu(add) — an Activation consuming an
+        add output exists; v2 graphs have none (pre-activation);
+      - bottleneck: a ``stage1_unit1_conv3`` node exists;
+      - cardinality/group_width: ``num_group`` on the unit's 3x3 conv and
+        the ResNeXt width rule inverted (gw = mid*256/(card*filters));
+      - bn momentum/eps from the first non-fixed-gamma BatchNorm.
+
+    Returns ``{"model": {...ModelConfig fields...}, "num_classes": int}``.
+    Raises ValueError with a specific message on graphs outside this
+    family (the reference repo only builds ResNet/ResNeXt symbols).
+    """
+    import re as _re
+
+    g = json.loads(txt)
+    nodes = g["nodes"]
+    by_name = {n["name"]: n for n in nodes}
+
+    fcs = [n for n in nodes if n["op"] == "FullyConnected"]
+    if not fcs:
+        raise ValueError("symbol has no FullyConnected head")
+    num_classes = int(_node_attrs(fcs[-1])["num_hidden"])
+
+    convs = [n for n in nodes if n["op"] == "Convolution"]
+    if not convs:
+        raise ValueError("symbol has no Convolution nodes")
+    stem = convs[0]
+    stem_kernel = _node_attrs(stem).get("kernel", "")
+    cifar = "3, 3" in stem_kernel or stem_kernel == "(3,3)"
+
+    adds = [n for n in nodes
+            if n["op"] in ("elemwise_add", "_Plus", "_plus", "add_n")]
+    if not adds:
+        raise ValueError("symbol has no residual add nodes")
+    stage_units: dict = {}
+    for n in adds:
+        m = _re.match(r"stage(\d+)_unit(\d+)", n["name"])
+        if not m:
+            raise ValueError(
+                f"residual add node {n['name']!r} is not stageN_unitM-"
+                "named; structural unit inference is not implemented for "
+                "foreign naming schemes")
+        s, u = int(m.group(1)), int(m.group(2))
+        stage_units[s] = max(stage_units.get(s, 0), u)
+    units = tuple(stage_units[s] for s in sorted(stage_units))
+
+    bottleneck = "stage1_unit1_conv3" in by_name
+    conv2 = by_name.get("stage1_unit1_conv2")
+    cardinality = int(_node_attrs(conv2).get("num_group", 1)) if conv2 else 1
+    network = "resnext" if cardinality > 1 else "resnet"
+    group_width = 4
+    if cardinality > 1:
+        mid = int(_node_attrs(conv2)["num_filter"])
+        out_f = int(_node_attrs(by_name["stage1_unit1_conv3"])["num_filter"])
+        group_width = max(1, mid * 256 // (cardinality * out_f))
+
+    # v1 iff some Activation consumes an add node's output
+    add_idx = {nodes.index(n) for n in adds}
+    version = 2
+    for n in nodes:
+        if n["op"] == "Activation" and any(
+                i[0] in add_idx for i in n.get("inputs", [])):
+            version = 1
+            break
+
+    bn_mom, bn_eps = 0.9, 2e-5
+    for n in nodes:
+        if n["op"] == "BatchNorm":
+            a = _node_attrs(n)
+            if str(a.get("fix_gamma", "False")).lower() in ("false", "0"):
+                bn_mom = float(a.get("momentum", bn_mom))
+                bn_eps = float(a.get("eps", bn_eps))
+                break
+
+    depth = _reverse_depth(units, bottleneck, cifar)
+    return {
+        "model": {
+            "network": network,
+            "depth": depth,
+            "version": version,
+            "cardinality": cardinality if network == "resnext" else 32,
+            "group_width": group_width,
+            "bn_mom": bn_mom,
+            "bn_eps": bn_eps,
+            "dataset": "cifar10" if cifar else "imagenet",
+        },
+        "num_classes": num_classes,
+    }
+
+
+def config_from_symbol(cfg: Config, path: str) -> Config:
+    """Overlay a ``-symbol.json``'s model structure onto ``cfg``.
+
+    Model-structure fields (network/depth/version/cardinality/group_width/
+    bn_mom/bn_eps/dataset) and num_classes come from the symbol — the
+    MXNet semantics of ``load_checkpoint`` (the graph travels WITH the
+    checkpoint; the user does not re-specify it). Everything else
+    (data pipeline, precision, lowering knobs) stays from ``cfg``.
+    """
+    import dataclasses
+
+    with open(path) as f:
+        info = parse_symbol_json(f.read())
+    return cfg.replace(
+        model=dataclasses.replace(cfg.model, **info["model"]),
+        data=dataclasses.replace(cfg.data,
+                                 num_classes=info["num_classes"]))

@@ -24,6 +24,35 @@ import pytest
 
 
 @pytest.mark.integration
+def test_decode_rate_per_core_floor():
+    """Regression gate on the <5% input-overhead PROJECTION (VERDICT r3
+    #5): the claim rests on the measured per-core native decode rate
+    (657 JPEG/s/core quiet-host, PERF_NOTES) times real v5e host cores
+    (>100). Gate the projection's two inputs so a decode-path regression
+    trips a test instead of silently rotting the writeup:
+
+      - per-core decode rate >= 450 img/s (256px JPEGs, shipped letterbox
+        canvas path; ~30% head-room below the quiet-host 657 to absorb
+        this 1-core box's scheduling noise);
+      - cores needed to feed the 3000 img/s/chip target <= 7 (BASELINE
+        north-star; v5e hosts ship >100).
+    """
+    repo = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    env = dict(os.environ)
+    env["JAX_PLATFORMS"] = "cpu"
+    out = subprocess.run(
+        [sys.executable, os.path.join(repo, "tools", "bench_input.py"),
+         "--decode-only", "--threads", "1", "--num-images", "256",
+         "--batch-size", "64", "--image-size", "224"],
+        env=env, capture_output=True, text=True, timeout=900)
+    assert out.returncode == 0, out.stderr[-2000:]
+    line = [ln for ln in out.stdout.splitlines() if ln.startswith("{")][-1]
+    r = json.loads(line)
+    assert r["decode_imgs_per_sec_per_core"] >= 450, r
+    assert r["cores_needed_for_3000ips"] <= 7, r
+
+
+@pytest.mark.integration
 def test_cpu_backend_input_overhead_under_5pct():
     repo = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
     env = dict(os.environ)

@@ -59,6 +59,72 @@ def _launch(tmp_path, prefix, extra, port, background=False):
 
 
 @pytest.mark.integration
+def test_bn_ema_warmup_switch_multiprocess_resume(tmp_path):
+    """bn-ema warmup->ema switch under multi-process kill/relaunch
+    (VERDICT r3 #6): the switch is host-side state (solver._host_step), so
+    a mid-epoch restore landing INSIDE the warmup phase must replay the
+    program switch at the identical step on every rank — divergence would
+    show up as non-bitwise final state (ranks psum-mixing different
+    programs) or a crash.
+
+    Schedule: 32 total steps (2 epochs x 16), --bn-ema-warmup 20 puts the
+    switch mid-epoch-1; the kill lands after the first mid-epoch
+    checkpoint (step ~4, warmup phase), so the relaunch resumes at a
+    warmup-phase step and must re-arm + re-fire the switch at step 20.
+    """
+    ema = ["--bn-ema", "--bn-ema-warmup", "20"]
+    ref_prefix = str(tmp_path / "eref" / "ck")
+    rc, out = _launch(tmp_path, ref_prefix, ema, 23797)
+    assert rc == 0, out[-3000:]
+    ref_log = open(ref_prefix + ".log").read()
+    assert "bn-ema: warmup done at step 20" in ref_log
+
+    prefix = str(tmp_path / "ekill" / "ck")
+    p = _launch(tmp_path, prefix, ema, 23799, background=True)
+    log = prefix + ".log"
+    deadline = time.time() + 600
+    while time.time() < deadline and p.poll() is None:
+        if os.path.exists(log) and \
+                "Saved mid-epoch checkpoint" in open(log).read():
+            break
+        time.sleep(0.3)
+    assert p.poll() is None, p.communicate()[0][-3000:]
+    # the kill must land in the WARMUP phase (before step 20) for the
+    # resume to exercise the re-arm path
+    assert "warmup done" not in open(log).read()
+    out = subprocess.run(
+        ["ps", "--ppid", str(p.pid), "-o", "pid="],
+        capture_output=True, text=True).stdout.split()
+    assert out, "no workers found"
+    os.kill(int(out[-1]), signal.SIGKILL)
+    p.communicate(timeout=300)
+    assert p.returncode != 0
+
+    rc, out2 = _launch(tmp_path, prefix, ema + ["--auto-resume"], 23801)
+    assert rc == 0, out2[-3000:]
+    resumed_log = open(log).read()
+    # the resumed run re-fired the switch at the same step
+    assert "bn-ema: warmup done at step 20" in resumed_log
+
+    from resnet_tpu.config import build_parser, config_from_args
+    cfg = config_from_args(build_parser().parse_args(
+        _FLAGS + ema + ["--model-prefix", ref_prefix]))
+    from resnet_tpu.train.state import create_train_state
+    template = create_train_state(cfg)
+    a, _ = ckpt.load_checkpoint(ref_prefix, 2, template)
+    b, _ = ckpt.load_checkpoint(prefix, 2, template)
+    assert int(a.step) == int(b.step) == 32
+    for x, y in zip(jax.tree.leaves(a.params), jax.tree.leaves(b.params)):
+        np.testing.assert_array_equal(np.asarray(x), np.asarray(y))
+    for x, y in zip(jax.tree.leaves(a.batch_stats),
+                    jax.tree.leaves(b.batch_stats)):
+        np.testing.assert_array_equal(np.asarray(x), np.asarray(y))
+    for x, y in zip(jax.tree.leaves(a.opt_state),
+                    jax.tree.leaves(b.opt_state)):
+        np.testing.assert_array_equal(np.asarray(x), np.asarray(y))
+
+
+@pytest.mark.integration
 def test_kill_one_worker_resume_bitwise(tmp_path):
     # reference run, uninterrupted
     rc, out = _launch(tmp_path, str(tmp_path / "ref" / "ck"), [], 23791)

@@ -62,6 +62,82 @@ def test_fused_with_letterbox_dims_matches():
                                atol=5e-2, rtol=1e-4)
 
 
+def test_split_photometric_matches_in_kernel():
+    """Round 4: the in-kernel photometric path (HSL deltas applied inside
+    the Mosaic kernel) vs the split formulation (f32 intermediate + XLA
+    HSL). Same rng, same op order — interpret mode must agree to float
+    tolerance (the TPU lowering's parity is covered by the on-chip
+    bitwise gate, tools/device_parity + PARITY.md)."""
+    rng = np.random.default_rng(5)
+    canvas = rng.integers(0, 256, (3, 40, 40, 3), np.uint8)
+    key = jax.random.key(13)
+    cfg = DataConfig(random_h=36, random_s=50, random_l=50)
+    fused = augment_imagenet_pallas(jnp.asarray(canvas), key, cfg, (32, 32),
+                                    jnp.float32, interpret=True)
+    split = augment_imagenet_pallas(jnp.asarray(canvas), key, cfg, (32, 32),
+                                    jnp.float32, interpret=True,
+                                    split_photometric=True)
+    np.testing.assert_allclose(np.asarray(fused), np.asarray(split),
+                               atol=2e-2, rtol=1e-4)
+
+
+def test_contrast_illumination_in_kernel():
+    rng = np.random.default_rng(6)
+    canvas = rng.integers(0, 256, (3, 40, 40, 3), np.uint8)
+    key = jax.random.key(17)
+    cfg = DataConfig(random_h=0, random_s=0, random_l=0,
+                     max_random_contrast=0.3, max_random_illumination=20.0)
+    got = augment_imagenet_pallas(jnp.asarray(canvas), key, cfg, (32, 32),
+                                  jnp.float32, interpret=True)
+    want = augment.augment_imagenet(jnp.asarray(canvas), key, cfg, (32, 32),
+                                    jnp.float32)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(want),
+                               atol=5e-2, rtol=1e-4)
+
+
+def _regroup_s2d(x):
+    """Reference regroup: (N,H,W,C) -> (N,H/2,W/2,4C), order (py,px,c) —
+    models/resnet._StemConvS2D's input reindex."""
+    n, h, w, c = x.shape
+    return (x.reshape(n, h // 2, 2, w // 2, 2, c)
+             .transpose(0, 1, 3, 2, 4, 5)
+             .reshape(n, h // 2, w // 2, 4 * c))
+
+
+def test_s2d_output_is_regrouped_standard_pallas():
+    """aug s2d (round 4) emits bitwise the standard output in space-to-
+    depth block order — phase-split matmuls add exact zeros only."""
+    rng = np.random.default_rng(7)
+    canvas = rng.integers(0, 256, (3, 40, 40, 3), np.uint8)
+    key = jax.random.key(19)
+    cfg = DataConfig(random_h=36, random_s=50, random_l=50)
+    std = augment_imagenet_pallas(jnp.asarray(canvas), key, cfg, (32, 32),
+                                  jnp.float32, interpret=True)
+    s2d = augment_imagenet_pallas(jnp.asarray(canvas), key, cfg, (32, 32),
+                                  jnp.float32, interpret=True, s2d=True)
+    assert s2d.shape == (3, 16, 16, 12)
+    np.testing.assert_array_equal(np.asarray(s2d),
+                                  _regroup_s2d(np.asarray(std)))
+
+
+def test_s2d_output_is_regrouped_standard_xla():
+    rng = np.random.default_rng(8)
+    canvas = rng.integers(0, 256, (3, 40, 40, 3), np.uint8)
+    dims = np.array([[100, 200, 20, 40], [80, 80, 40, 40],
+                     [300, 150, 40, 20]], np.int32)
+    key = jax.random.key(23)
+    cfg = DataConfig(random_h=36, random_s=50, random_l=50)
+    std = augment.augment_imagenet(jnp.asarray(canvas), key, cfg, (32, 32),
+                                   jnp.float32, dims=jnp.asarray(dims))
+    s2d = augment.augment_imagenet(jnp.asarray(canvas), key, cfg, (32, 32),
+                                   jnp.float32, dims=jnp.asarray(dims),
+                                   s2d=True)
+    assert s2d.shape == (3, 16, 16, 12)
+    np.testing.assert_allclose(np.asarray(s2d),
+                               _regroup_s2d(np.asarray(std)),
+                               atol=1e-4, rtol=1e-5)
+
+
 def test_fused_mirror_and_normalize():
     rng = np.random.default_rng(2)
     canvas = rng.integers(0, 256, (2, 16, 16, 3), np.uint8)

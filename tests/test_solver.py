@@ -309,6 +309,48 @@ class TestAugmentImplSelection:
         assert train_fn is not None
 
 
+class TestAugS2D:
+    """aug_s2d (round 4): the augmenter emits space-to-depth blocks that
+    feed the pre-blocked stem — an execution switch, so a whole trained
+    epoch must match the standard layout to float tolerance."""
+
+    def _cfg(self, aug_s2d):
+        cfg = tiny_cfg()
+        cfg.model.dataset = "imagenet"
+        cfg.model.depth = 18
+        cfg.data.image_shape = (32, 32, 3)
+        cfg.data.num_classes = 10
+        cfg.train.stem_s2d = True
+        cfg.train.aug_s2d = aug_s2d
+        return cfg
+
+    def test_epoch_matches_standard_layout(self):
+        images, labels = synthetic_cifar(128, 10, (32, 32, 3), seed=3)
+        params = {}
+        for s2d in (False, True):
+            solver = Solver(self._cfg(s2d))
+            it = MemoryIter(images, labels, 32, seed=0)
+            state = solver.init_state()
+            state = solver.train_epoch(state, it, 0)
+            params[s2d] = state.params
+        for a, b in zip(jax.tree.leaves(params[False]),
+                        jax.tree.leaves(params[True])):
+            np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                       rtol=2e-4, atol=2e-5)
+
+    def test_needs_stem_s2d(self):
+        cfg = self._cfg(True)
+        cfg.train.stem_s2d = False
+        with pytest.raises(ValueError, match="aug-s2d"):
+            Solver(cfg)
+
+    def test_needs_v1(self):
+        cfg = self._cfg(True)
+        cfg.model.version = 2
+        with pytest.raises(ValueError, match="aug-s2d"):
+            Solver(cfg)
+
+
 class TestCommDtype:
     """shard_map gradient all-reduce in bf16 (--dp-comm-dtype bfloat16):
     halves ICI bytes; matches GSPMD's implicit bf16 wgrad reduction and

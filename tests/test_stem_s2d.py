@@ -111,6 +111,38 @@ def test_model_logits_parity_r18(rng):
                                rtol=2e-4, atol=2e-4)
 
 
+def test_pre_blocked_input_matches(rng):
+    """aug_s2d contract (round 4): feeding the model the ALREADY-blocked
+    (N,H/2,W/2,12) input must equal feeding the plain image to the
+    stem_s2d model (the module does the same regroup internally), with the
+    identical (7,7,3,F) param tree."""
+    cfg = Config()
+    cfg.model.depth = 18
+    cfg.data = dataclasses.replace(cfg.data, num_classes=7,
+                                   image_shape=(32, 32, 3))
+    cfg.train = dataclasses.replace(cfg.train, stem_s2d=True)
+    m = get_model(cfg)
+    x = jnp.asarray(rng.standard_normal((2, 32, 32, 3)), jnp.float32)
+    xb = (x.reshape(2, 16, 2, 16, 2, 3).transpose(0, 1, 3, 2, 4, 5)
+           .reshape(2, 16, 16, 12))
+    v = m.init(jax.random.key(0), x, train=False)
+    assert v["params"]["conv0"]["kernel"].shape == (7, 7, 3, 64)
+    y0 = m.apply(v, x, train=False)
+    y1 = m.apply(v, xb, train=False)
+    np.testing.assert_allclose(np.asarray(y1), np.asarray(y0),
+                               rtol=1e-5, atol=1e-5)
+    # train-mode too (BN batch stats on the same activations)
+    y2, s2 = m.apply(v, x, train=True, mutable=["batch_stats"])
+    y3, s3 = m.apply(v, xb, train=True, mutable=["batch_stats"])
+    np.testing.assert_allclose(np.asarray(y3), np.asarray(y2),
+                               rtol=1e-5, atol=1e-5)
+    # without stem_s2d a 12-channel input must fail loudly
+    base = get_model(cfg.replace(train=dataclasses.replace(
+        cfg.train, stem_s2d=False)))
+    with pytest.raises(ValueError, match="pre-blocked"):
+        base.init(jax.random.key(0), xb, train=False)
+
+
 def test_odd_input_falls_back(rng):
     """Odd spatial sizes can't block 2x2 — the plain conv path must run."""
     cfg = Config()

@@ -101,6 +101,58 @@ def test_resnext_num_group():
     assert grouped[0]["attrs"]["num_filter"] == "128"   # 32 groups x 4
 
 
+ROUNDTRIP_CASES = CASES + [
+    _cfg("resnet", 101, 1),
+    _cfg("resnet", 152, 1),
+    _cfg("resnet", 56, 1, dataset="cifar10"),
+    _cfg("resnet", 164, 2, dataset="cifar10"),   # CIFAR 9n+2 bottleneck
+    _cfg("resnext", 101, 1),
+]
+ROUNDTRIP_IDS = IDS + ["r101", "r152", "cifar56", "cifar164v2", "x101"]
+
+
+@pytest.mark.parametrize("cfg", ROUNDTRIP_CASES, ids=ROUNDTRIP_IDS)
+def test_symbol_roundtrip(cfg):
+    """export -> parse -> identical model config (VERDICT r3 #7: a foreign
+    MXNet checkpoint pair configures the network itself, like
+    mx.model.load_checkpoint loading ``prefix-symbol.json``)."""
+    from resnet_tpu.utils.symbol_export import parse_symbol_json
+
+    info = parse_symbol_json(symbol_json(cfg))
+    m = info["model"]
+    assert m["network"] == cfg.model.network
+    assert m["depth"] == cfg.model.depth
+    assert m["version"] == cfg.model.version
+    assert m["dataset"] == cfg.model.dataset
+    assert m["bn_mom"] == pytest.approx(cfg.model.bn_mom)
+    assert m["bn_eps"] == pytest.approx(cfg.model.bn_eps)
+    if cfg.model.network == "resnext":
+        assert m["cardinality"] == cfg.model.cardinality
+        assert m["group_width"] == cfg.model.group_width
+    assert info["num_classes"] == cfg.data.num_classes
+
+
+def test_config_from_symbol_overlay(tmp_path):
+    """config_from_symbol keeps pipeline/train knobs, replaces structure."""
+    from resnet_tpu.utils.symbol_export import config_from_symbol
+
+    src = _cfg("resnext", 50, 1)
+    src.data.num_classes = 37
+    path = save_symbol(str(tmp_path / "foreign"), src)
+
+    base = _cfg("resnet", 18, 1)            # wrong structure on purpose
+    base.train.dtype = "bfloat16"
+    base.data.pipeline = "memory"
+    out = config_from_symbol(base, path)
+    assert out.model.network == "resnext"
+    assert out.model.depth == 50
+    assert out.data.num_classes == 37
+    # non-structure knobs untouched
+    assert out.train.dtype == "bfloat16"
+    assert out.data.pipeline == "memory"
+    assert out.data.image_shape == base.data.image_shape
+
+
 def test_checkpoint_pair(tmp_path):
     from resnet_tpu.train.state import create_train_state
     from resnet_tpu.utils.export import save_mxnet_style

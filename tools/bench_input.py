@@ -123,12 +123,14 @@ def main():
     decode_rate = measure_decode(prefix, args.threads, args.batch_size,
                                  canvas)
     ncpu = os.cpu_count() or 1
+    eff_cores = min(args.threads, ncpu)
+    per_core = decode_rate / max(1, eff_cores)
     result = {
         "decode_imgs_per_sec": round(decode_rate, 1),
+        "decode_imgs_per_sec_per_core": round(per_core, 1),
         "host_cores": ncpu,
         "threads": args.threads,
-        "cores_needed_for_3000ips": round(
-            3000 / max(decode_rate, 1e-9) * min(args.threads, ncpu), 1),
+        "cores_needed_for_3000ips": round(3000 / max(per_core, 1e-9), 1),
     }
 
     if not args.decode_only:

@@ -76,6 +76,11 @@ def main(argv=None):
                    help="image files, directories, or .rec shards")
     p.add_argument("--top-k", type=int, default=5)
     p.add_argument("--limit", type=int, default=1 << 30)
+    p.add_argument("--no-symbol-config", action="store_true",
+                   help="do NOT read the model structure from "
+                        "{prefix}-symbol.json when it exists (by default "
+                        "a foreign MXNet checkpoint pair configures the "
+                        "network itself, like mx.model.load_checkpoint)")
     args, rest = p.parse_known_args(argv)
     rest = [a for a in rest if a != "--"]
 
@@ -93,6 +98,16 @@ def main(argv=None):
     if cfg.train.load_epoch is None:
         print("error: --load-epoch required", file=sys.stderr)
         return 2
+    sym_json = f"{cfg.train.model_prefix}-symbol.json"
+    if not args.no_symbol_config and os.path.exists(sym_json):
+        # the checkpoint pair carries its own graph (SURVEY.md §3.4) —
+        # read the network structure from it, exactly like
+        # mx.model.load_checkpoint returning the symbol
+        from resnet_tpu.utils.symbol_export import config_from_symbol
+        cfg = config_from_symbol(cfg, sym_json)
+        print(f"# model config from {sym_json}: "
+              f"{cfg.model.network}-{cfg.model.depth} v{cfg.model.version} "
+              f"classes={cfg.data.num_classes}", file=sys.stderr)
     state = create_train_state(cfg)
     mx_params = (f"{cfg.train.model_prefix}"
                  f"-{cfg.train.load_epoch:04d}.params")
