@@ -314,6 +314,18 @@ def imagenet_resnet50() -> Config:
     unchanged, so checkpoints/export interchange) — the bn-ema
     convergence evidence carries over unchanged.
 
+    Round 4 ships the augmentation-boundary fusions on top: the Pallas
+    augmenter computes the HSL/contrast/illumination photometrics
+    IN-KERNEL (deletes the f32 intermediate the split formulation
+    round-tripped through HBM; `--augment-impl pallas-split` restores
+    the old lowering) and ``aug_s2d`` emits the augmenter output
+    directly in the stem's space-to-depth block layout (deletes the
+    regroup copies). Both bit-match the XLA path
+    (tests/test_pallas_augment.py, tests/test_stem_s2d.py). Measured
+    ladder at median-window resolution: 2986.4 (r3 split) → 3002.3
+    (fused photometrics) → **3008.6 img/s/chip** (+aug_s2d) —
+    PERF_NOTES round 4a; the 3000 north star is crossed.
+
     dtype ships ``bfloat16`` (fp32 params/BN stats/head — the north-star
     dtype, and what every tuning row above was measured under);
     ``--dtype float32`` restores full-f32 compute for reference-exact
@@ -322,7 +334,8 @@ def imagenet_resnet50() -> Config:
     cfg.train = dataclasses.replace(cfg.train, bn_ema=True,
                                     batch_size=128, lr=0.05,
                                     steps_per_dispatch=6, spd_unroll=True,
-                                    stem_s2d=True, dtype="bfloat16")
+                                    stem_s2d=True, aug_s2d=True,
+                                    dtype="bfloat16")
     return cfg
 
 

@@ -57,6 +57,9 @@ class TestCLI:
         # math-preserving; PERF_NOTES.md)
         assert p2.train.steps_per_dispatch == 6 and p2.train.spd_unroll
         assert p2.train.stem_s2d
+        # round 4a: augmenter emits space-to-depth blocks straight into
+        # the pre-blocked stem (PERF_NOTES round 4a — 3008.6 img/s)
+        assert p2.train.aug_s2d
         assert p2.train.dtype == "bfloat16"
         p3 = PRESETS["imagenet_resnext50"]()
         assert p3.train.bn_ema and p3.train.batch_size == 256
