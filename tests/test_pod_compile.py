@@ -55,8 +55,67 @@ def test_pod_compile_audit_quick():
 
     # overlap-friendly schedule: a healthy majority of the program's
     # fusions are scheduled AFTER the first all-reduce (comm interleaved
-    # with remaining backward), not comm-after-all-compute.
+    # with remaining backward), not comm-after-all-compute. Measured
+    # 88.3% on the quick program (94.4% on the 2-slice variant; >=90% on
+    # the full-size R50/R152 programs, audits/); a serialized
+    # comm-after-all-compute schedule scores ~0.
     assert report["fusions_after_first_allreduce"] >= 10, report
+    assert report["overlap_pct"] >= 75.0, report
 
     # the pod program fits trivially at quick shapes
     assert report["hbm_per_device_gb"]["total_live"] < 1.0, report
+
+
+@pytest.mark.integration
+def test_pod_compile_audit_two_slice_dcn():
+    """2-slice hybrid topology (VERDICT r3 #4b): v5e:2x4 x2 = 16 chips in
+    2 ICI slices / 4 host processes, cross-slice comm over DCN — the
+    multi-host analog of the reference's dist_sync kvstore over ethernet
+    (mxnet:src/kvstore/kvstore_dist.h). XLA compiles the PER-SLICE
+    program (num_partitions = 8) and stages the gradient reduction
+    reduce-scatter/ICI -> megascale ALL_REDUCE/DCN -> all-gather/ICI;
+    the audit must see every leg of that pattern — a missing DCN leg
+    would be a silent per-slice-only reduction."""
+    proc = subprocess.run(
+        [sys.executable, os.path.join(REPO, "tools", "pod_compile_probe.py"),
+         "--quick", "--num-slices", "2"],
+        capture_output=True, text=True, timeout=900,
+        env={**os.environ, "JAX_PLATFORMS": ""})
+    if proc.returncode != 0:
+        pytest.skip(f"TPU AOT toolchain unavailable: {proc.stdout[-300:]} "
+                    f"{proc.stderr[-300:]}")
+    report = json.loads(proc.stdout)
+    if "error" in report:
+        pytest.skip(f"TPU AOT toolchain unavailable: {report['error']}")
+
+    assert report["n_devices"] == 16
+    assert report["num_slices"] == 2
+    assert report["n_processes"] == 4
+    assert report["collective_op_counts"].get("all-reduce", 0) > 0, report
+
+    # intra-slice legs ride ICI: every all-reduce group spans the full
+    # 8-partition slice (groups are in per-slice partition ids)
+    shapes = report["allreduce_replica_group_shapes"]
+    assert shapes, report
+    for key in shapes:
+        n_groups, sizes = key.split("x")
+        for s in sizes.split("/"):
+            assert int(n_groups) * int(s) == 8, (key, report)
+
+    # the cross-slice leg rides DCN: megascale ALL_REDUCE transfers whose
+    # target names BOTH slices ("{1,2}x{0:7}")
+    assert report["megascale_transfer_counts"].get("ALL_REDUCE", 0) > 0, \
+        report
+    assert any(t.startswith("{1,2}x") for t in report["megascale_targets"]
+               ), report
+    # per-device DCN volume: at least the reduce-scattered shard of the
+    # gradients, at most the full gradient vector
+    pb = report["param_bytes"]
+    assert 0.1 * pb <= report["megascale_allreduce_send_bytes"] <= 1.2 * pb, \
+        report
+
+    # AR + RS-input together reduce the full gradient volume exactly once
+    ratio = report["reduced_bytes_over_param_bytes"]
+    assert 0.9 <= ratio <= 1.3, report
+    assert report["fusions_after_first_allreduce"] >= 10, report
+    assert report["overlap_pct"] >= 75.0, report

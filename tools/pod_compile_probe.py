@@ -98,13 +98,62 @@ def audit_hlo(txt: str) -> dict:
     n_f = order.count("F")
     first_ar = order.index("AR") if "AR" in order else -1
     fus_after_first_ar = order[first_ar:].count("F") if first_ar >= 0 else 0
+    # replica-group shapes of the gradient all-reduces: group count x group
+    # size per op. Single-slice: groups span the whole mesh. Multi-slice:
+    # the compiled program is PER-SLICE (num_partitions = devices/slice),
+    # so groups span the slice's partitions and the cross-slice leg rides
+    # megascale DCN send/recv pairs audited below.
+    group_shapes = {}
+    for m2 in re.finditer(
+            r"all-reduce(?:-start)?\([^\n]*replica_groups=\{(\{[^}]*\}"
+            r"(?:,\{[^}]*\})*)\}", txt):
+        groups = [g for g in m2.group(1).strip("{}").split("},{")]
+        sizes = sorted({len(g.split(",")) for g in groups})
+        key = f"{len(groups)}x{'/'.join(str(s) for s in sizes)}"
+        group_shapes[key] = group_shapes.get(key, 0) + 1
+    # reduce-scatter INPUT bytes (output bytes x group size): together with
+    # the all-reduce bytes this accounts for the full reduced volume when
+    # XLA stages RS/ICI -> AR/DCN -> AG/ICI on a multi-slice topology
+    rs_input = 0
+    for ln in body:
+        ls = ln.strip()
+        if " reduce-scatter(" not in ls or "=" not in ls:
+            continue
+        out_b = shape_bytes(ls.split("=", 1)[1].split("reduce-scatter")[0])
+        mg = re.search(r"replica_groups=\{(\{[^}]*\})", ls)
+        gsz = len(mg.group(1).strip("{}").split(",")) if mg else 1
+        rs_input += out_b * gsz
+    # cross-slice megascale DCN transfers: host-transfer send ops tagged
+    # _xla_megascale_transfer_type; target "{1,2}x{0:7}" = slices 1,2 x
+    # per-slice partitions 0..7 (the reduction spans every slice)
+    mega_counts, mega_targets, mega_ar_bytes = {}, set(), 0
+    for ln in txt.splitlines():
+        if "_xla_megascale_transfer_type" not in ln or " send(" not in ln:
+            continue
+        kind = re.search(
+            r'_xla_megascale_transfer_type="([A-Z_]+)"', ln).group(1)
+        mega_counts[kind] = mega_counts.get(kind, 0) + 1
+        mt = re.search(r'_xla_megascale_target="([^"]*)"', ln)
+        if mt:
+            mega_targets.add(mt.group(1))
+        if kind == "ALL_REDUCE":
+            m3 = re.search(r"= \(([a-z]+\d+\[[0-9,]*\])", ln)
+            if m3:
+                mega_ar_bytes += shape_bytes(m3.group(1))
     return {
         "collective_op_counts": collectives,
         "n_allreduce_buckets": len(buckets),
         "allreduce_bucket_bytes": sorted(buckets, reverse=True),
         "allreduce_total_bytes": sum(buckets),
+        "allreduce_replica_group_shapes": group_shapes,
+        "reduce_scatter_input_bytes": rs_input,
+        "megascale_transfer_counts": mega_counts,
+        "megascale_targets": sorted(mega_targets),
+        "megascale_allreduce_send_bytes": mega_ar_bytes,
         "n_fusions_scheduled": n_f,
         "fusions_after_first_allreduce": fus_after_first_ar,
+        "overlap_pct": round(100.0 * fus_after_first_ar / n_f, 1)
+        if n_f else 0.0,
         "schedule_tail": "".join(order[-40:]),
     }
 
@@ -117,6 +166,15 @@ def main():
     p.add_argument("--topology", default="v5e:2x4",
                    help="TPU topology name (v5e:2x4 = 8 chips; "
                         "v5e:4x4 = the BASELINE configs[4] v5e-16 pod)")
+    p.add_argument("--num-slices", type=int, default=1,
+                   help="ICI slices of --topology each, connected over "
+                        "DCN (multi-process hybrid topology: v5e:2x4 x2 "
+                        "= 16 chips across 4 host processes / 2 slices — "
+                        "the multi-host analog of the reference's "
+                        "dist_sync kvstore over ethernet)")
+    p.add_argument("--hlo-out", default=None,
+                   help="dump the scheduled post-optimization HLO text "
+                        "here (inspection/debugging)")
     p.add_argument("--batch-per-chip", type=int, default=0,
                    help="0 = the preset's per-chip batch")
     p.add_argument("--dp-mode", default=None,
@@ -152,12 +210,24 @@ def main():
     from resnet_tpu.train.steps import make_train_step
 
     try:
-        topo = topologies.get_topology_desc(args.topology, platform="tpu")
+        kw = {"num_slices": args.num_slices} if args.num_slices > 1 else {}
+        topo = topologies.get_topology_desc(
+            args.topology, platform="tpu", **kw)
     except Exception as e:
         print(json.dumps({"error": f"topology unavailable: {e!r}"}))
         return 1
     n = len(topo.devices)
-    mesh = topologies.make_mesh(topo, (n,), (DATA_AXIS,))
+    if args.num_slices > 1:
+        # make_mesh -> create_device_mesh asserts one contiguous physical
+        # torus; a multi-slice topology is several. Order the 1-D data
+        # mesh slice-major (slice_id, then device id) so replica IDs are
+        # contiguous per slice — the layout that lets XLA stage the
+        # gradient reduction intra-slice/ICI + cross-slice/DCN.
+        devs = sorted(topo.devices,
+                      key=lambda d: (getattr(d, "slice_index", 0), d.id))
+        mesh = jax.sharding.Mesh(np.array(devs), (DATA_AXIS,))
+    else:
+        mesh = topologies.make_mesh(topo, (n,), (DATA_AXIS,))
 
     cfg = getattr(C, args.preset)()
     if args.quick:
@@ -227,6 +297,8 @@ def main():
     report = {
         "preset": args.preset,
         "topology": args.topology,
+        "num_slices": args.num_slices,
+        "n_processes": len({d.process_index for d in topo.devices}),
         "n_devices": n,
         "dp_mode": cfg.train.dp_mode,
         "global_batch": bs,
@@ -238,7 +310,11 @@ def main():
         "dp_comm_dtype": getattr(cfg.train, "dp_comm_dtype", "float32"),
         "compile_seconds": round(compile_s, 1),
     }
-    report.update(audit_hlo(compiled.as_text()))
+    hlo_txt = compiled.as_text()
+    if args.hlo_out:
+        with open(args.hlo_out, "w") as f:
+            f.write(hlo_txt)
+    report.update(audit_hlo(hlo_txt))
 
     mem = compiled.memory_analysis()
     if mem is not None:
@@ -269,6 +345,12 @@ def main():
     report["param_bytes"] = int(param_bytes)
     report["allreduce_bytes_over_param_bytes"] = (
         round(report["allreduce_total_bytes"] / max(1, param_bytes), 2))
+    # multi-slice programs stage the reduction (RS/ICI -> megascale
+    # AR/DCN -> AG/ICI); AR + RS-input together cover the reduced volume
+    report["reduced_bytes_over_param_bytes"] = (
+        round((report["allreduce_total_bytes"]
+               + report["reduce_scatter_input_bytes"])
+              / max(1, param_bytes), 2))
 
     print(json.dumps(report, indent=2))
     return 0
