@@ -352,14 +352,18 @@ def imagenet_resnext50() -> Config:
     the R50 bs128 peak does not transfer (1907@128 — noise-level).
     The round-3h battery measured the family under the spd4-unroll +
     s2d dispatch schedule (1924 img/s, +11.7% over round 2), so the
-    preset ships it (K=6 is only validated for R50 bs128)."""
+    preset ships it (K=6 is only validated for R50 bs128). Round 4:
+    the merge sweep VERDICT r3 #8 asked for confirms merge-2 under the
+    new program (1937.7 vs merge-4 1795.5 / merge-8 1776.6), and the
+    aug_s2d boundary fusion pays here too (1943.2, +0.28%,
+    non-overlapping windows) — shipped."""
     cfg = Config()
     cfg.model = dataclasses.replace(cfg.model, network="resnext", depth=50)
     cfg.train = dataclasses.replace(cfg.train, grouped_dense=True,
                                     grouped_merge=2, bn_ema=True,
                                     dtype="bfloat16",
                                     steps_per_dispatch=4, spd_unroll=True,
-                                    stem_s2d=True)
+                                    stem_s2d=True, aug_s2d=True)
     return cfg
 
 

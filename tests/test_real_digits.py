@@ -96,3 +96,39 @@ def test_real_digits_converge(digit_shards, bn_ema):
     # 10-class real data, 600 train images, mirror-augmented: well past
     # chance (0.1); a broken pipeline or BN/SGD drift lands near chance
     assert m["accuracy"] >= 0.8, m
+
+
+def test_bn_ema_accuracy_equivalence(digit_shards):
+    """bn-ema vs full-batch BN final-accuracy equivalence — the CI rung of
+    the round-4 dossier (tools/ema_equivalence.py; table in PERF_NOTES.md
+    "Round 4b"). Same task/budget/seed, SHIPPED bn momentum (0.9, not the
+    fast-stats 0.5 the bar test above uses), LR steps landing AFTER the
+    warmup→ema switch (step 50 of 250) — the frozen-variance stress
+    VERDICT r3 asked for. Asserts (a) both BN programs clear the real-data
+    bar, (b) their final accuracies agree within the dossier-pinned
+    tolerance, (c) bn-ema's running-stats eval is consistent with
+    train-mode normalization (no frozen-variance drift).
+
+    ref: mxnet:src/operator/nn/batch_norm semantics (the departure being
+    certified); BASELINE.json >=76% top-1 (in-environment proxy)."""
+    import os
+    import sys
+    sys.path.insert(0, os.path.join(os.path.dirname(__file__),
+                                    os.pardir, "tools"))
+    from ema_equivalence import run_one
+
+    rows = {r["mode"]: r for r in
+            (run_one(digit_shards, seed=0, bn_ema=b, epochs=10)
+             for b in (False, True))}
+    full, ema = rows["full_batch_bn"], rows["bn_ema"]
+
+    assert full["val_accuracy"] >= 0.8, rows
+    assert ema["val_accuracy"] >= 0.8, rows
+    # dossier round 4b: 3-seed acc_mean diff -0.0022 (ema below), worst
+    # paired-seed gap 0.0134, worst within-mode seed spread 0.0534; gate
+    # at ~= the within-mode spread (the seed-noise floor equivalence
+    # must clear)
+    assert abs(ema["val_accuracy"] - full["val_accuracy"]) <= 0.06, rows
+    # EMA-drift probe: standard (running-stats) eval must not degrade vs
+    # train-mode normalization beyond batch-stats sampling noise
+    assert ema["eval_consistency_gap"] <= 0.05, rows
