@@ -376,13 +376,17 @@ def imagenet_resnet101_bf16() -> Config:
     dispatch schedule + s2d stem: the round-3k precision battery
     measured 1847.9 at K=6 vs 1841.2 at K=4 (non-overlapping window
     intervals) — depth 101 follows R50's K=6 peak, unlike ResNeXt/R152
-    which stay at their measured K=4."""
+    which stay at their measured K=4. Round 4: ships aug_s2d — the
+    boundary fusion is exactly neutral at depth 101 (1867.8 either way,
+    PERF_NOTES family refresh) and never negative, so the family keeps
+    one augmenter-boundary layout."""
     cfg = Config()
     cfg.model = dataclasses.replace(cfg.model, depth=101)
     cfg.train = dataclasses.replace(
         cfg.train, batch_size=1024, lr=0.4, warmup=True, warmup_epochs=5,
         dtype="bfloat16", bn_ema=True,
-        steps_per_dispatch=6, spd_unroll=True, stem_s2d=True)
+        steps_per_dispatch=6, spd_unroll=True, stem_s2d=True,
+        aug_s2d=True)
     return cfg
 
 
@@ -393,15 +397,20 @@ def imagenet_resnet152_dp() -> Config:
     img/s at bs256 single-chip; composes with remat and both dp modes —
     the driver dryrun covers the sharded ema program). Ships the
     spd4-unroll + s2d dispatch schedule the round-3h battery measured
-    the family under (1268 img/s at bs192 single-chip); the AOT pod
-    audit (PERF_NOTES round 3j) validates HBM/collectives for the
-    16-chip program."""
+    the family under (1268 img/s at bs192 single-chip; 1279.8 under the
+    round-4 aug fusions); the AOT pod audit (PERF_NOTES round 3j)
+    validates HBM/collectives for the 16-chip program. Round 4: ships
+    aug_s2d (+0.03% at depth 152, within window spread, never negative
+    — PERF_NOTES family refresh); the GSPMD pod program with the
+    XLA-augmenter s2d emit is AOT-audited (the probe honors the
+    preset's aug_s2d)."""
     cfg = Config()
     cfg.model = dataclasses.replace(cfg.model, depth=152)
     cfg.train = dataclasses.replace(
         cfg.train, batch_size=4096, lr=1.6, warmup=True, warmup_epochs=5,
         dtype="bfloat16", remat=True, num_devices=16, bn_ema=True,
-        steps_per_dispatch=4, spd_unroll=True, stem_s2d=True)
+        steps_per_dispatch=4, spd_unroll=True, stem_s2d=True,
+        aug_s2d=True)
     return cfg
 
 

@@ -70,6 +70,9 @@ class TestCLI:
         assert p5.model.depth == 152 and p5.train.remat
         assert p5.train.num_devices == 16
         assert p5.train.bn_ema
+        # round 4: the whole ImageNet family ships one augmenter-boundary
+        # layout (aug_s2d — never negative, PERF_NOTES family refresh)
+        assert p3.train.aug_s2d and p4.train.aug_s2d and p5.train.aug_s2d
 
     def test_preset_with_overrides(self):
         cfg = parse_config(["--preset", "cifar10_resnet18",

@@ -258,13 +258,14 @@ def main():
     else:
         from resnet_tpu.data.pipeline import canvas_size
         ch, cw = canvas_size((h, w))
+        s2d = bool(getattr(cfg.train, "aug_s2d", False))
         if args.pallas_aug:
             from resnet_tpu.ops.augment_pallas import augment_imagenet_pallas
             aug_fn = lambda imgs, rng, dims=None: augment_imagenet_pallas(
-                imgs, rng, cfg.data, (h, w), dtype, dims=dims)
+                imgs, rng, cfg.data, (h, w), dtype, dims=dims, s2d=s2d)
         else:
             aug_fn = lambda imgs, rng, dims=None: augment.augment_imagenet(
-                imgs, rng, cfg.data, (h, w), dtype, dims=dims)
+                imgs, rng, cfg.data, (h, w), dtype, dims=dims, s2d=s2d)
 
     # abstract state (no arrays materialized — works at any model size)
     state_abs = jax.eval_shape(lambda: create_train_state(cfg))
