@@ -247,6 +247,15 @@ class TrainConfig:
                                       # push (PERF_NOTES round 3j). GSPMD
                                       # jit mode ignores it (the compiler
                                       # already re-types the reduce).
+    dp_sync: str = "step"             # gradient-sync cadence, the kvstore
+                                      # TRANSPORT analog (mxnet:src/kvstore/
+                                      # kvstore_dist.cc dist_sync/dist_async):
+                                      # "step" = all-reduce every step
+                                      # (dist_sync); "dispatch" = local SGD
+                                      # with one parameter-space pmean per
+                                      # dispatched program (the bounded-
+                                      # staleness dist_async analog;
+                                      # shard_map only — train/steps.py)
 
 
 @dataclass
@@ -623,6 +632,12 @@ def build_parser() -> argparse.ArgumentParser:
                    help="shard_map gradient all-reduce dtype; bfloat16 "
                         "halves ICI bytes (= GSPMD's implicit behavior "
                         "and MXNet multi_precision's fp16 push)")
+    p.add_argument("--dp-sync", choices=["step", "dispatch"], default=None,
+                   help="sync cadence (reference: kvstore dist_sync vs "
+                        "dist_async): 'step' all-reduces gradients every "
+                        "step; 'dispatch' runs steps-per-dispatch local SGD "
+                        "steps then one parameter pmean per program "
+                        "(bounded-staleness async analog; shard_map only)")
     return p
 
 
@@ -725,6 +740,7 @@ def config_from_args(args: argparse.Namespace) -> Config:
     if args.dp_mode is not None: t["dp_mode"] = args.dp_mode
     if args.dp_comm_dtype is not None:
         t["dp_comm_dtype"] = args.dp_comm_dtype
+    if args.dp_sync is not None: t["dp_sync"] = args.dp_sync
     return Config(
         data=dataclasses.replace(cfg.data, **d),
         model=dataclasses.replace(cfg.model, **m),

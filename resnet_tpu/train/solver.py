@@ -175,10 +175,15 @@ class Solver:
         comm_dtype = (jnp.bfloat16
                       if getattr(t, "dp_comm_dtype", "float32") == "bfloat16"
                       else None)
+        # dp_sync='dispatch' (the dist_async analog) defers replica sync to
+        # the dispatch boundary; the epoch-tail single-step program built by
+        # _mk_step(1) keeps the same cadence — at k=1 it is mathematically
+        # step-sync (steps.py module docstring).
         self._mk_step = lambda k: make_train_step(
             self.mesh, t.dp_mode, t.label_smooth, augment_fn=aug_fn,
             compiler_options=xla_opts, steps_per_dispatch=k,
-            spd_unroll=t.spd_unroll, comm_dtype=comm_dtype)
+            spd_unroll=t.spd_unroll, comm_dtype=comm_dtype,
+            dp_sync=getattr(t, "dp_sync", "step"))
         self.train_step = self._mk_step(self._spd)
         self._single_step = self.train_step if self._spd == 1 else None
         self.eval_step = make_eval_step(

@@ -20,6 +20,25 @@ Two data-parallel modes (``--dp-mode``, the kvstore selector's analog):
     MXNet's per-GPU BatchNorm, explicit ``lax.pmean`` on grads and on the
     updated BN running stats (the reference averages aux states across
     executors on get_params).
+
+Two synchronization cadences (``--dp-sync``, the kvstore TRANSPORT
+semantics analog — SURVEY.md §2d transport 2,
+``mxnet:src/kvstore/kvstore_dist.cc`` ``dist_sync``/``dist_async``):
+  - ``step``: gradients all-reduce every step — exact ``dist_sync`` /
+    ``device`` / ``nccl`` semantics.
+  - ``dispatch``: the TPU-native ``dist_async`` analog (local SGD /
+    periodic parameter averaging). ps-lite's async transport exists to
+    decouple workers from a slow network by tolerating bounded staleness;
+    on TPU the idiomatic form of that trade is K un-synchronized local
+    optimizer steps per dispatched program followed by ONE parameter-space
+    ``pmean`` (params + momentum + BN stats) at the dispatch boundary —
+    staleness is bounded by K (vs unbounded in ps-lite), comm drops from
+    K gradient all-reduces to one state all-reduce per dispatch, and the
+    reduction rides the SAME program (no host round-trip). Because the
+    shipped optimizer's update is LINEAR in the gradient (mxnet_sgd,
+    NAG, and the radial projection all are — train/optim.py), K=1
+    dispatch-sync is mathematically identical to step-sync; K>1 is the
+    throughput/staleness trade (tests/test_dp_sync.py pins both).
 """
 
 from __future__ import annotations
@@ -28,6 +47,7 @@ from functools import partial
 from typing import Callable, Optional
 
 import jax
+import jax.numpy as jnp
 from jax.sharding import Mesh, PartitionSpec as P
 
 from resnet_tpu.ops.metrics import cross_entropy_loss, metric_sums
@@ -39,7 +59,7 @@ from resnet_tpu.train.state import TrainState
 def train_step(state: TrainState, batch, label_smooth: float = 0.0,
                axis_name: Optional[str] = None,
                augment_fn: Optional[Callable] = None,
-               comm_dtype=None):
+               comm_dtype=None, grad_sync: bool = True):
     """One SGD step. Pure; jit/shard_map wrappers below.
 
     ``augment_fn(images_u8, rng) -> images`` runs INSIDE this XLA program
@@ -67,7 +87,7 @@ def train_step(state: TrainState, batch, label_smooth: float = 0.0,
     (loss, (logits, new_stats)), grads = jax.value_and_grad(
         loss_fn, has_aux=True)(state.params)
 
-    if axis_name is not None:
+    if axis_name is not None and grad_sync:
         # explicit DP: all-reduce grads (kvstore push+pull equivalent) and
         # keep BN running stats replica-consistent. ``comm_dtype`` reduces
         # the gradients in that dtype (e.g. bf16): the pod-compile audit
@@ -87,9 +107,33 @@ def train_step(state: TrainState, batch, label_smooth: float = 0.0,
 
     new_state = state.apply_gradients(grads).replace(batch_stats=new_stats)
     metrics = metric_sums(logits, labels, loss)
-    if axis_name is not None:
+    if axis_name is not None and grad_sync:
         metrics = jax.lax.psum(metrics, axis_name)
     return new_state, metrics
+
+
+def sync_state(state: TrainState, axis_name: str) -> TrainState:
+    """Parameter-space replica sync for ``dp_sync='dispatch'``.
+
+    ``pmean`` every float leaf of (params, optimizer state, BN running
+    stats) — the analog of ps-lite servers re-publishing merged weights
+    (``mxnet:src/kvstore/kvstore_dist_server.h``), collapsed into one
+    in-program collective. Momentum rides along so replicas re-enter the
+    next local phase bit-identical (and so K=1 reproduces step-sync
+    exactly — the MXNet update is linear in the gradient). Integer leaves
+    (step / schedule counters) are replica-identical by construction and
+    pass through untouched. Syncs stay f32: parameters are
+    precision-critical, and one state-sized reduce per dispatch is already
+    K x cheaper than the per-step gradient reduces it replaces.
+    """
+    def mean_floats(tree):
+        return jax.tree.map(
+            lambda x: jax.lax.pmean(x, axis_name)
+            if jnp.issubdtype(x.dtype, jnp.inexact) else x, tree)
+
+    return state.replace(params=mean_floats(state.params),
+                         opt_state=mean_floats(state.opt_state),
+                         batch_stats=mean_floats(state.batch_stats))
 
 
 def eval_step(state: TrainState, batch, axis_name: Optional[str] = None,
@@ -135,7 +179,8 @@ def make_train_step(mesh: Optional[Mesh] = None, dp_mode: str = "jit",
                     compiler_options: Optional[dict] = None,
                     steps_per_dispatch: int = 1,
                     spd_unroll: bool = False,
-                    comm_dtype=None) -> Callable:
+                    comm_dtype=None,
+                    dp_sync: str = "step") -> Callable:
     """Compile the train step for the given mesh/mode.
 
     Returns ``f(state, batch) -> (state, metrics)`` with the state donated
@@ -148,11 +193,22 @@ def make_train_step(mesh: Optional[Mesh] = None, dp_mode: str = "jit",
     ``f(state, batches)`` where every batch leaf carries a leading ``k``
     axis (k host batches stacked), runs k SGD steps per dispatch and
     returns metric sums accumulated over them (see ``_scan_steps``).
+
+    ``dp_sync='dispatch'`` (shard_map only — GSPMD owns its own collective
+    placement) runs the k in-program steps WITHOUT gradient all-reduces and
+    issues one parameter-space ``sync_state`` pmean at the dispatch
+    boundary instead: the ``dist_async`` analog (module docstring).
     """
     co = compiler_options or None
     k = steps_per_dispatch
     if k < 1:
         raise ValueError(f"steps_per_dispatch must be >= 1, got {k}")
+    if dp_sync not in ("step", "dispatch"):
+        raise ValueError(f"unknown dp_sync {dp_sync!r}")
+    if dp_sync == "dispatch" and mesh is not None and dp_mode != "shard_map":
+        # GSPMD infers collectives from shardings; there is no seam where a
+        # "skip the grad reduce, pmean params later" schedule can be stated.
+        raise ValueError("dp_sync='dispatch' requires --dp-mode shard_map")
     if mesh is None:
         fn = partial(train_step, label_smooth=label_smooth,
                      augment_fn=augment_fn)
@@ -172,14 +228,23 @@ def make_train_step(mesh: Optional[Mesh] = None, dp_mode: str = "jit",
                        compiler_options=co)
 
     if dp_mode == "shard_map":
+        dispatch_sync = dp_sync == "dispatch"
         fn = partial(train_step, label_smooth=label_smooth,
                      axis_name=DATA_AXIS, augment_fn=augment_fn,
-                     comm_dtype=comm_dtype)
+                     comm_dtype=comm_dtype, grad_sync=not dispatch_sync)
         batch_spec = P(DATA_AXIS)
         if k > 1:
             # scan INSIDE the shard_map body: each replica scans its own
             # k per-replica sub-batches (stacked on the leading axis)
             fn, batch_spec = _scan_steps(fn, k, spd_unroll), P(None, DATA_AXIS)
+        if dispatch_sync:
+            local = fn
+
+            def fn(state, batch):
+                # k local (un-reduced) steps, then ONE state pmean + the
+                # deferred metric psum — all inside the same XLA program.
+                state, ms = local(state, batch)
+                return sync_state(state, DATA_AXIS), jax.lax.psum(ms, DATA_AXIS)
         smapped = jax.shard_map(
             fn, mesh=mesh,
             in_specs=(P(), batch_spec),
