@@ -185,6 +185,11 @@ def main():
     p.add_argument("--dp-comm-dtype", choices=["float32", "bfloat16"],
                    default=None,
                    help="shard_map gradient all-reduce dtype override")
+    p.add_argument("--dp-sync", choices=["step", "dispatch"], default=None,
+                   help="sync cadence override (dispatch = the dist_async "
+                        "analog: K local steps + one parameter-space pmean "
+                        "per program; audit shows the K-fold collective "
+                        "cut — shard_map only)")
     p.add_argument("--remat", action=argparse.BooleanOptionalAction,
                    default=None,
                    help="override the preset's remat (memonger analog) — "
@@ -243,6 +248,8 @@ def main():
     cfg.train.num_devices = n
     if args.dp_mode:
         cfg.train.dp_mode = args.dp_mode
+    if args.dp_sync:
+        cfg.train.dp_sync = args.dp_sync
     if args.remat is not None:
         cfg.train.remat = args.remat
     if args.spd is not None:
@@ -287,7 +294,8 @@ def main():
     step_fn = make_train_step(
         mesh=mesh, dp_mode=cfg.train.dp_mode, augment_fn=aug_fn,
         steps_per_dispatch=spd, spd_unroll=cfg.train.spd_unroll,
-        comm_dtype=comm_dtype)
+        comm_dtype=comm_dtype,
+        dp_sync=getattr(cfg.train, "dp_sync", "step"))
 
     import time
     tic = time.perf_counter()
@@ -309,6 +317,7 @@ def main():
         "remat": cfg.train.remat,
         "dtype": cfg.train.dtype,
         "dp_comm_dtype": getattr(cfg.train, "dp_comm_dtype", "float32"),
+        "dp_sync": getattr(cfg.train, "dp_sync", "step"),
         "compile_seconds": round(compile_s, 1),
     }
     hlo_txt = compiled.as_text()
