@@ -1,0 +1,106 @@
+"""Serving-artifact export round-trip (utils/serving.py, tools/serve_export).
+
+The deployment analog of the reference's save_checkpoint -> load_checkpoint
+-> bind(for_training=False) serving flow (SURVEY.md §3.4): the exported
+StableHLO artifact must reproduce the live model's logits bit-for-bit on
+the same backend, serve ANY batch size through its symbolic batch dim,
+and carry a manifest that describes the calling convention.
+"""
+
+import json
+import os
+
+import jax
+import numpy as np
+import pytest
+
+from resnet_tpu.config import cifar10_resnet18
+from resnet_tpu.train.state import create_train_state
+from resnet_tpu.utils.serving import (export_serving, load_serving,
+                                      make_serving_fn)
+
+
+def _tiny_cfg():
+    cfg = cifar10_resnet18()
+    cfg.model.depth = 8
+    cfg.data.num_classes = 10
+    return cfg
+
+
+@pytest.fixture(scope="module")
+def exported(tmp_path_factory):
+    cfg = _tiny_cfg()
+    state = create_train_state(cfg)
+    prefix = str(tmp_path_factory.mktemp("serve") / "artifact")
+    # cpu-only lowering in the test env; the tool defaults to cpu+tpu
+    artifact, manifest = export_serving(
+        cfg, state.params, state.batch_stats, prefix, platforms=("cpu",))
+    return cfg, state, prefix, artifact, manifest
+
+
+def test_artifact_files_and_manifest(exported):
+    cfg, _, _, artifact, manifest = exported
+    assert os.path.getsize(artifact) > 0
+    m = json.load(open(manifest))
+    assert m["input"]["dtype"] == "uint8"
+    assert m["input"]["shape"] == ["b", 32, 32, 3]
+    assert m["output"]["shape"] == ["b", 10]
+    assert m["depth"] == cfg.model.depth
+    assert m["normalize"]["mean_rgb"] == list(cfg.data.mean_rgb)
+
+
+def test_roundtrip_logits_match_live_model(exported):
+    cfg, state, prefix, _, _ = exported
+    serve, _ = load_serving(prefix)
+    live = jax.jit(make_serving_fn(cfg, state.params, state.batch_stats))
+    x = np.random.default_rng(0).integers(
+        0, 256, (4, 32, 32, 3), dtype=np.uint8)
+    got = np.asarray(serve(x))
+    want = np.asarray(live(x))
+    assert got.shape == (4, 10) and got.dtype == np.float32
+    # same backend, same program semantics -> bitwise
+    np.testing.assert_array_equal(got, want)
+
+
+def test_symbolic_batch_serves_any_size(exported):
+    _, _, prefix, _, _ = exported
+    serve, _ = load_serving(prefix)
+    rng = np.random.default_rng(1)
+    for b in (1, 3, 7):
+        out = np.asarray(serve(rng.integers(
+            0, 256, (b, 32, 32, 3), dtype=np.uint8)))
+        assert out.shape == (b, 10)
+        assert np.all(np.isfinite(out))
+
+
+def test_pinned_batch_export(tmp_path):
+    cfg = _tiny_cfg()
+    state = create_train_state(cfg)
+    prefix = str(tmp_path / "pinned")
+    export_serving(cfg, state.params, state.batch_stats, prefix,
+                   batch_size=2, platforms=("cpu",))
+    serve, manifest = load_serving(prefix)
+    assert manifest["input"]["shape"][0] == 2
+    x = np.zeros((2, 32, 32, 3), np.uint8)
+    assert np.asarray(serve(x)).shape == (2, 10)
+
+
+def test_cli_export_and_check(tmp_path):
+    """tools/serve_export.py end to end: save a checkpoint, export with
+    --check (artifact-vs-live gate), verify the files land."""
+    from resnet_tpu.train import checkpoint as ckpt
+    from tools.serve_export import main
+
+    cfg = _tiny_cfg()
+    cfg.train.model_prefix = str(tmp_path / "ckpt" / "model")
+    state = create_train_state(cfg)
+    ckpt.save_checkpoint(cfg.train.model_prefix, 1, state)
+    out = str(tmp_path / "artifact")
+    rc = main(["--out", out, "--platforms", "cpu", "--check",
+               "--serve-batch-size", "2", "--",
+               "--preset", "cifar10_resnet18", "--depth", "8",
+               "--model-prefix", cfg.train.model_prefix,
+               "--load-epoch", "1"])
+    assert rc == 0
+    assert os.path.exists(out + ".stablehlo")
+    assert os.path.exists(out + ".json")
