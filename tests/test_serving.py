@@ -85,6 +85,39 @@ def test_pinned_batch_export(tmp_path):
     assert np.asarray(serve(x)).shape == (2, 10)
 
 
+def test_sharded_export_matches_single_device(exported, tmp_path):
+    """num_devices=8: the batch-sharded artifact (the DP serving layout)
+    must produce the same logits as the single-device artifact, serve any
+    multiple-of-8 batch through its 8*b symbolic dim, and re-stage plain
+    host arrays onto the mesh inside load_serving's wrapper."""
+    cfg, state, single_prefix, _, _ = exported
+    assert len(jax.devices()) >= 8, "conftest provides 8 virtual devices"
+    prefix = str(tmp_path / "sharded")
+    _, manifest_path = export_serving(
+        cfg, state.params, state.batch_stats, prefix,
+        platforms=("cpu",), num_devices=8)
+    m = json.load(open(manifest_path))
+    assert m["num_devices"] == 8
+    assert m["input"]["shape"][0] == "8*b"
+
+    serve, _ = load_serving(prefix)
+    single, _ = load_serving(single_prefix)
+    rng = np.random.default_rng(2)
+    for b in (8, 24):
+        x = rng.integers(0, 256, (b, 32, 32, 3), dtype=np.uint8)
+        got = np.asarray(serve(x))          # plain np: wrapper stages it
+        want = np.asarray(single(x))
+        assert got.shape == (b, 10)
+        np.testing.assert_allclose(got, want, atol=1e-5, rtol=1e-5)
+
+
+def test_sharded_export_validates_batch_divisibility(exported):
+    cfg, state, _, _, _ = exported
+    with pytest.raises(ValueError, match="divide"):
+        export_serving(cfg, state.params, state.batch_stats, "/tmp/x",
+                       batch_size=6, platforms=("cpu",), num_devices=8)
+
+
 def test_cli_export_and_check(tmp_path):
     """tools/serve_export.py end to end: save a checkpoint, export with
     --check (artifact-vs-live gate), verify the files land."""

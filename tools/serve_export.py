@@ -38,6 +38,11 @@ def main(argv=None):
                    help="pin the artifact batch dim (default: symbolic — "
                         "one artifact serves any batch size)")
     p.add_argument("--platforms", nargs="+", default=["cpu", "tpu"])
+    p.add_argument("--serve-devices", type=int, default=1,
+                   help="export the program batch-sharded over a 1-D "
+                        "'data' mesh of N devices (the DP serving "
+                        "layout); the artifact then requires exactly N "
+                        "devices at load time")
     p.add_argument("--check", action="store_true",
                    help="after export, reload the artifact and verify its "
                         "logits match the live model on a random batch")
@@ -83,14 +88,15 @@ def main(argv=None):
 
     artifact, manifest = export_serving(
         cfg, state.params, state.batch_stats, args.out,
-        batch_size=args.serve_batch_size, platforms=args.platforms)
+        batch_size=args.serve_batch_size, platforms=args.platforms,
+        num_devices=args.serve_devices)
     print(f"wrote {artifact} ({os.path.getsize(artifact) / 1e6:.1f} MB) "
           f"+ {manifest}")
 
     if args.check:
         serve, _ = load_serving(args.out)
         h, w, c = cfg.data.image_shape
-        bs = args.serve_batch_size or 2
+        bs = args.serve_batch_size or 2 * args.serve_devices
         x = np.random.default_rng(0).integers(
             0, 256, (bs, h, w, c), dtype=np.uint8)
         got = np.asarray(serve(x))
