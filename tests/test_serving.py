@@ -118,6 +118,30 @@ def test_sharded_export_validates_batch_divisibility(exported):
                        batch_size=6, platforms=("cpu",), num_devices=8)
 
 
+@pytest.mark.integration
+def test_resnext_roundtrip(tmp_path):
+    """The other model family serves too: ResNeXt (grouped 3x3 lowering)
+    export -> load -> bitwise logit parity, small ImageNet-style shapes."""
+    from resnet_tpu.config import Config
+
+    cfg = Config()
+    cfg.model.network = "resnext"
+    cfg.model.depth = 50
+    cfg.data.num_classes = 10
+    cfg.data.image_shape = (56, 56, 3)
+    state = create_train_state(cfg)
+    prefix = str(tmp_path / "resnext")
+    export_serving(cfg, state.params, state.batch_stats, prefix,
+                   batch_size=2, platforms=("cpu",))
+    serve, manifest = load_serving(prefix)
+    assert manifest["network"] == "resnext"
+    live = jax.jit(make_serving_fn(cfg, state.params, state.batch_stats))
+    x = np.random.default_rng(2).integers(
+        0, 256, (2, 56, 56, 3), dtype=np.uint8)
+    np.testing.assert_array_equal(np.asarray(serve(x)),
+                                  np.asarray(live(x)))
+
+
 def test_cli_export_and_check(tmp_path):
     """tools/serve_export.py end to end: save a checkpoint, export with
     --check (artifact-vs-live gate), verify the files land."""
