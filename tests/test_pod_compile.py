@@ -92,9 +92,14 @@ def test_serving_pod_compile_collective_free():
     assert report["n_devices"] == 8
     assert report["collective_free"], report
     assert report["collective_op_counts"] == {}, report
+    # module-wide scan: no collective hiding in a non-entry computation
+    assert report["collective_op_counts_module"] == {}, report
     # the program still does real work (fusions scheduled) and fits
     assert report["n_fusions_scheduled"] > 0, report
-    assert report["hbm_per_device_gb"]["total_live"] < 1.0, report
+    # memory_analysis() can return None on some AOT builds; the HBM
+    # bound is gated only when the toolchain reports it
+    if "hbm_per_device_gb" in report:
+        assert report["hbm_per_device_gb"]["total_live"] < 1.0, report
 
 
 @pytest.mark.integration

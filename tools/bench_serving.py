@@ -10,7 +10,8 @@ three ways on the same pre-staged uint8 device batches —
 
   1. live:     ``jax.jit(make_serving_fn(...))`` straight from the model
   2. artifact: ``load_serving(...)`` on a freshly deserialized export
-  3. (--eval-step) the in-graph-metrics eval path bench.py --eval measures
+(``bench.py --eval`` clocks the third anchor — the in-graph-metrics
+eval path — under identical conventions; compare its JSON line)
 
 and reports img/s plus the artifact/live ratio. Timing follows bench.py's
 conventions for this box: pre-staged device buffer pool (the axon relay
@@ -59,10 +60,9 @@ def main():
                         "a temp dir")
     args = p.parse_args()
 
+    from resnet_tpu.utils.platform import honor_jax_platforms
+    honor_jax_platforms()
     import jax
-
-    if os.environ.get("JAX_PLATFORMS"):
-        jax.config.update("jax_platforms", os.environ["JAX_PLATFORMS"])
 
     import numpy as np
 
@@ -79,7 +79,8 @@ def main():
     cfg.model.network = args.network
     cfg.model.depth = args.depth
     if args.quick:
-        cfg.model.depth = 18
+        # resnext has no basic-block depths — its smallest net is 50
+        cfg.model.depth = 50 if args.network == "resnext" else 18
         cfg.data.image_shape = (64, 64, 3)
         args.batch_size = 8
         if args.steps == 50:
@@ -114,9 +115,11 @@ def main():
     _ = [int(jax.jit(lambda b: b.sum())(b)) for b in pool]   # settle H2D
 
     def clock(fn, label):
+        out = None
         for i in range(args.warmup):
             out = fn(pool[i % args.pool])
-        float(out[0, 0])                       # forced host readback
+        if out is not None:
+            float(out[0, 0])                   # forced host readback
         rates = []
         for wdw in range(max(1, args.windows)):
             tic = time.perf_counter()

@@ -140,8 +140,25 @@ def audit_hlo(txt: str) -> dict:
             m3 = re.search(r"= \(([a-z]+\d+\[[0-9,]*\])", ln)
             if m3:
                 mega_ar_bytes += shape_bytes(m3.group(1))
+    # Module-wide collective scan: the ENTRY walk above reads the
+    # schedule, but a collective placed inside a NON-entry computation
+    # (while body, conditional branch, async-wrapped callee) never
+    # appears there. Count call sites across the whole module text so a
+    # "collective-free" verdict (serving_pod_probe) cannot be a false
+    # positive from schedule placement.
+    module_collectives = {}
+    for ln2 in txt.splitlines():
+        if "=" not in ln2:
+            continue
+        for name in ("all-reduce-start", "all-reduce-done", "all-reduce",
+                     "all-gather", "reduce-scatter", "collective-permute"):
+            if f" {name}(" in ln2:
+                module_collectives[name] = (
+                    module_collectives.get(name, 0) + 1)
+                break
     return {
         "collective_op_counts": collectives,
+        "collective_op_counts_module": module_collectives,
         "n_allreduce_buckets": len(buckets),
         "allreduce_bucket_bytes": sorted(buckets, reverse=True),
         "allreduce_total_bytes": sum(buckets),

@@ -10,7 +10,7 @@ serving time. See resnet_tpu/utils/serving.py.
 
     python tools/serve_export.py --out model_artifact \
         --preset imagenet_resnet50 --model-prefix ckpt/resnet \
-        --load-epoch 90 [--batch-size 8] [--platforms cpu tpu] [--check]
+        --load-epoch 90 [--serve-batch-size 8] [--platforms cpu tpu] [--check]
 
 Serving then needs only jax:
 

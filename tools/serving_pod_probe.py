@@ -129,7 +129,11 @@ def main():
             f.write(hlo_txt)
     audit = audit_hlo(hlo_txt)
     report["collective_op_counts"] = audit["collective_op_counts"]
-    report["collective_free"] = not audit["collective_op_counts"]
+    # verdict keys off the MODULE-wide scan: a collective hidden in a
+    # non-entry computation (while body / conditional) must count too
+    report["collective_op_counts_module"] = (
+        audit["collective_op_counts_module"])
+    report["collective_free"] = not audit["collective_op_counts_module"]
     report["n_fusions_scheduled"] = audit["n_fusions_scheduled"]
 
     mem = compiled.memory_analysis()
