@@ -40,8 +40,8 @@ def main():
     p.add_argument("--depth", type=int, default=50)
     p.add_argument("--batch-size", type=int, default=0,
                    help="0 = auto: the shipped preset's per-chip batch "
-                        "(128 for imagenet_resnet50 since round 3d — the "
-                        "measured MXU-lane optimum; 256 for resnext)")
+                        "(128 — the measured MXU-lane optimum, family-wide "
+                        "since the round-5 batch sweep)")
     p.add_argument("--steps", type=int, default=30)
     p.add_argument("--windows", type=int, default=3,
                    help="measurement windows of --steps each; the MEDIAN "
@@ -248,9 +248,10 @@ def main():
     elif args.batch_size:
         cfg.train.batch_size = args.batch_size
     elif args.depth != 50:
-        # the preset's batch is tuned for ITS depth (bs128 is the R50
-        # MXU-lane optimum); family rows stay on the bs256 convention
-        cfg.train.batch_size = 256
+        # round-5 family batch sweep: the bs128 MXU-lane optimum
+        # transfers to depth — R101 2029.8 (+8.7% over bs256), R152
+        # 1464.7 (+14.4% over bs192) — so family rows measure bs128 too
+        cfg.train.batch_size = 128
     # else: keep the shipped preset's batch — the benchmark of record
     # measures the trainer's defaults (bs128 for R50 since round 3d)
     bs = cfg.train.batch_size

@@ -61,15 +61,22 @@ class TestCLI:
         # the pre-blocked stem (PERF_NOTES round 4a — 3008.6 img/s)
         assert p2.train.aug_s2d
         assert p2.train.dtype == "bfloat16"
+        # round-5 family batch sweep: the bs128 MXU-lane optimum ships
+        # family-wide (ResNeXt 1950.0, R101 2029.8, R152 1464.7 — each
+        # at 128/chip with linear-scaled lr; PERF_NOTES round 5)
         p3 = PRESETS["imagenet_resnext50"]()
-        assert p3.train.bn_ema and p3.train.batch_size == 256
+        assert p3.train.bn_ema and p3.train.batch_size == 128
+        assert p3.train.lr == pytest.approx(0.05)
         p4 = PRESETS["imagenet_resnet101_bf16"]()
         assert p4.train.dtype == "bfloat16" and p4.train.warmup
         assert p4.train.bn_ema
+        assert p4.train.batch_size == 1024   # already 128/chip x 8
         p5 = PRESETS["imagenet_resnet152_dp"]()
         assert p5.model.depth == 152 and p5.train.remat
         assert p5.train.num_devices == 16
         assert p5.train.bn_ema
+        assert p5.train.batch_size == 2048   # 128/chip x 16 (round 5)
+        assert p5.train.lr == pytest.approx(0.8)
         # round 4: the whole ImageNet family ships one augmenter-boundary
         # layout (aug_s2d — never negative, PERF_NOTES family refresh)
         assert p3.train.aug_s2d and p4.train.aug_s2d and p5.train.aug_s2d
