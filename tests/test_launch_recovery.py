@@ -58,6 +58,22 @@ def _launch(tmp_path, prefix, extra, port, background=False):
     return p.returncode, out
 
 
+def _launch_ok(tmp_path, prefix, extra, port, attempts=3):
+    """Launch to completion, retrying coordination-service startup flakes.
+
+    On this 1-core box a worker can miss the jax.distributed heartbeat
+    while its siblings compile, killing the job with 'Socket closed'
+    grpc errors unrelated to the property under test (the launches here
+    are preconditions / idempotent --auto-resume legs; the bitwise
+    asserts still gate correctness). Each retry uses a fresh port to
+    dodge TIME_WAIT. A real failure fails all attempts."""
+    for i in range(attempts):
+        rc, out = _launch(tmp_path, prefix, extra, port + 100 * i)
+        if rc == 0:
+            return rc, out
+    return rc, out
+
+
 @pytest.mark.integration
 def test_bn_ema_warmup_switch_multiprocess_resume(tmp_path):
     """bn-ema warmup->ema switch under multi-process kill/relaunch
@@ -74,7 +90,7 @@ def test_bn_ema_warmup_switch_multiprocess_resume(tmp_path):
     """
     ema = ["--bn-ema", "--bn-ema-warmup", "20"]
     ref_prefix = str(tmp_path / "eref" / "ck")
-    rc, out = _launch(tmp_path, ref_prefix, ema, 23797)
+    rc, out = _launch_ok(tmp_path, ref_prefix, ema, 23797)
     assert rc == 0, out[-3000:]
     ref_log = open(ref_prefix + ".log").read()
     assert "bn-ema: warmup done at step 20" in ref_log
@@ -100,7 +116,7 @@ def test_bn_ema_warmup_switch_multiprocess_resume(tmp_path):
     p.communicate(timeout=300)
     assert p.returncode != 0
 
-    rc, out2 = _launch(tmp_path, prefix, ema + ["--auto-resume"], 23801)
+    rc, out2 = _launch_ok(tmp_path, prefix, ema + ["--auto-resume"], 23801)
     assert rc == 0, out2[-3000:]
     resumed_log = open(log).read()
     # the resumed run re-fired the switch at the same step
@@ -127,7 +143,7 @@ def test_bn_ema_warmup_switch_multiprocess_resume(tmp_path):
 @pytest.mark.integration
 def test_kill_one_worker_resume_bitwise(tmp_path):
     # reference run, uninterrupted
-    rc, out = _launch(tmp_path, str(tmp_path / "ref" / "ck"), [], 23791)
+    rc, out = _launch_ok(tmp_path, str(tmp_path / "ref" / "ck"), [], 23791)
     assert rc == 0, out[-3000:]
 
     # killed run: SIGKILL ONE worker once the first collective mid-epoch
@@ -153,7 +169,7 @@ def test_kill_one_worker_resume_bitwise(tmp_path):
     assert p.returncode != 0   # job failed fast, not hung
 
     # relaunch with --auto-resume: restores the last collective checkpoint
-    rc, out2 = _launch(tmp_path, prefix, ["--auto-resume"], 23795)
+    rc, out2 = _launch_ok(tmp_path, prefix, ["--auto-resume"], 23795)
     assert rc == 0, out2[-3000:]
 
     # final checkpoints bitwise-identical to the uninterrupted run
